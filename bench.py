@@ -1,0 +1,69 @@
+"""Benchmark: full-config training steps/sec on the real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline (BASELINE.md): the reference trains ~15 h on one RTX 2080 Ti at
+batch 64 for 100 epochs (README.md:85). The repo never states the
+SketchyCOCO train-set size; the SketchyCOCO paper's object-level train
+split is ~14,081 images -> 220 steps/epoch -> 22,000 steps / 15 h
+= 0.407 steps/sec. That estimate is the denominator for vs_baseline
+(documented assumption, BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_STEPS_PER_SEC = 22000.0 / (15.0 * 3600.0)  # ~0.4074
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from edgegan_tpu.core.config import Config
+    from edgegan_tpu.train import (Networks, create_train_state,
+                                   make_train_step)
+
+    # Reference training config: batch 64, 64x128 pairs, 14 classes,
+    # all three critics + classifier, faithful 7-group update.
+    config = Config().derive('train')
+    nets = Networks(config)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               config.learning_rate)
+    step = jax.jit(make_train_step(nets, config), donate_argnums=(0,))
+
+    b = config.batch_size
+    images = jnp.asarray(np.random.RandomState(0).randn(
+        b, config.output_height, config.output_width, 3
+    ).astype(np.float32).clip(-1, 1))
+    z = np.random.RandomState(1).randn(b, config.z_dim + 1).astype(
+        np.float32)
+    z[:, -1] = np.random.RandomState(2).randint(0, config.num_classes, b)
+    z = jnp.asarray(z)
+    rng = jax.random.PRNGKey(3)
+
+    # warmup / compile
+    state, metrics = step(state, images, z, jax.random.fold_in(rng, 0))
+    jax.block_until_ready(metrics)
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(1, n_steps + 1):
+        state, metrics = step(state, images, z, jax.random.fold_in(rng, i))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_steps / dt
+
+    print(json.dumps({
+        'metric': 'train_steps_per_sec_b64_64x128_multiclass',
+        'value': round(steps_per_sec, 4),
+        'unit': 'steps/s',
+        'vs_baseline': round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,129 @@
+"""Inference entry point: `python -m edgegan_tpu.cli.test`.
+
+Flag-compatible with the reference `python -m edgegan.test`
+(/root/reference/edgegan/test.py): batch forced to 1, per-class output
+dirs under outputs/<name>/test_output/<dataset>/, class ids parsed from
+the parent directory and invalid ones masked out (quirk Q10), output
+combinations 'full' | 'inputL_outputR' | 'outputR' (the reference's
+'outputL_inputR' mode crashes — quirk Q7 — and is rejected here with a
+clear error instead).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from ..core.config import add_config_args, config_from_args
+from ..data import Dataset
+from ..infer import make_test_forward
+from ..train import Networks
+from .. import checkpoint as ckpt
+from ..utils import makedirs, save_images
+
+
+def pathsplit(path):
+    return os.path.normpath(path).split(os.sep)
+
+
+def name_with_class(filename):
+    splited = pathsplit(filename)
+    return os.path.join(*splited[splited.index('test') + 1:])
+
+
+def classes_of(filenames, num_classes):
+    result, mask = [], []
+    for path in filenames:
+        try:
+            classid = int(pathsplit(path)[-2])
+            if classid >= num_classes:
+                mask.append(False)
+                continue
+            result.append(classid)
+            mask.append(True)
+        except ValueError:
+            mask.append(False)
+    return result, np.array(mask, dtype=bool)
+
+
+def main(argv=None):
+    np.random.seed(2333)  # reference test.py:14
+    parser = argparse.ArgumentParser('edgegan_tpu.test')
+    add_config_args(parser, 'test')
+    args = parser.parse_args(argv)
+    config = config_from_args(args).derive('test')
+
+    makedirs(os.path.join(config.test_output_dir, config.dataset))
+
+    dataset_config = {
+        'input_height': config.input_height,
+        'input_width': config.input_width,
+        'output_height': config.output_height,
+        'output_width': config.output_width,
+        'crop': config.crop,
+        'grayscale': False,
+    }
+    dataset = Dataset(config.dataroot, config.dataset, config.train_size,
+                      1, dataset_config, None, 'test')
+
+    nets = Networks(config)
+    # Restore raw (no target): like the reference test graph, only the
+    # encoder/generator subtrees are needed, independent of the
+    # train-time discriminator configuration.
+    loaded, counter, raw = ckpt.load_raw(config.checkpoint_dir)
+    if not loaded:
+        print(' [!] Load failed...')
+        return
+    params = {k: raw['params'][k] for k in ('G1', 'G2', 'E')}
+    aux = {k: raw['aux'][k] for k in ('G1', 'G2', 'E')}
+    print(' [*] Load SUCCESS')
+
+    forward = make_test_forward(nets, config)
+    rng = jax.random.PRNGKey(6666)  # reference test.py:15 seeds TF with 6666
+    half_w = int(config.output_width / 2)
+
+    for idx in range(len(dataset)):
+        batch_images, filenames = dataset[idx]
+        if config.multiclasses:
+            class_ids, mask = classes_of(filenames, config.num_classes)
+            if len(class_ids) == 0:
+                continue
+            batch_images = batch_images[mask]
+            filenames = [f for f, m in zip(filenames, mask) if m]
+            batch_classes = np.array(class_ids, np.int32)
+        else:
+            batch_classes = np.zeros((batch_images.shape[0],), np.int32)
+
+        edge_out, image_out = forward(
+            params, aux, batch_images, batch_classes,
+            jax.random.fold_in(rng, idx))
+        outputL = np.array(edge_out)
+        outputR = np.array(image_out)
+        inputL = batch_images[:, :, :half_w, :]
+
+        if config.output_combination == 'inputL_outputR':
+            results = np.append(inputL, outputR, axis=2)
+        elif config.output_combination == 'outputR':
+            results = outputR
+        elif config.output_combination == 'outputL_inputR':
+            raise SystemExit(
+                "output_combination 'outputL_inputR' is broken in the "
+                'reference (undefined inputR, models/edgegan.py:613-614)')
+        else:  # 'full'
+            results = np.append(batch_images, outputL, axis=2)
+            results = np.append(results, outputR, axis=2)
+
+        assert results.shape[0] == len(filenames)
+        for fname, img in zip(filenames, results):
+            name = name_with_class(fname)
+            out_path = os.path.join(config.test_output_dir,
+                                    config.dataset, name)
+            makedirs(os.path.dirname(out_path))
+            save_images(img[np.newaxis, ...], [1, 1], out_path)
+        print('Test: [%4d/%4d]' % (idx, len(dataset)))
+
+
+if __name__ == '__main__':
+    main()

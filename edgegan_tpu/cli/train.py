@@ -1,0 +1,106 @@
+"""Training entry point: `python -m edgegan_tpu.cli.train`.
+
+Flag-compatible with the reference `python -m edgegan.train`
+(/root/reference/edgegan/train.py). One fused jitted step replaces the
+reference's ~14 graph executions per batch; the batch is sharded over
+the 'data' mesh axis; the host loader prefetches asynchronously.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..core.config import Config, add_config_args, config_from_args
+from ..data import Dataset, PrefetchLoader
+from ..parallel import batch_sharding, create_mesh, replicated
+from ..train import Networks, create_train_state, make_train_step
+from .. import checkpoint as ckpt
+from ..utils import makedirs
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser('edgegan_tpu.train')
+    add_config_args(parser, 'train')
+    args = parser.parse_args(argv)
+    config = config_from_args(args).derive('train')
+    config.save()
+    makedirs(config.checkpoint_dir)
+    makedirs(config.logdir)
+
+    dataset_config = {
+        'input_height': config.input_height,
+        'input_width': config.input_width,
+        'output_height': config.output_height,
+        'output_width': config.output_width,
+        'crop': config.crop,
+        'grayscale': False,
+        'z_dim': config.z_dim,
+    }
+    dataset = Dataset(config.dataroot, config.dataset, config.train_size,
+                      config.batch_size, dataset_config,
+                      config.num_classes, 'train')
+
+    mesh = create_mesh() if config.data_parallel else None
+    data_sharding = batch_sharding(mesh) if mesh else None
+
+    nets = Networks(config)
+    rng = jax.random.PRNGKey(config.seed)
+    state = create_train_state(nets, rng, config.learning_rate)
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+
+    counter = 1
+    loaded, ckpt_counter, restored = ckpt.load(config.checkpoint_dir, state)
+    if loaded:
+        state = restored
+        if mesh is not None:
+            state = jax.device_put(state, replicated(mesh))
+        counter = ckpt_counter
+        print(' [*] Load SUCCESS')
+    else:
+        print(' [!] Load failed...')
+
+    train_step = jax.jit(make_train_step(nets, config),
+                         donate_argnums=(0,))
+    metrics_log = open(os.path.join(config.logdir, 'metrics.jsonl'), 'a')
+
+    start_time = time.time()
+    for epoch in range(config.epoch):
+        dataset.shuffle()
+        loader = PrefetchLoader(dataset, prefetch=config.prefetch,
+                                sharding=data_sharding)
+        for idx, (batch_images, batch_z, _files) in enumerate(loader):
+            step_rng = jax.random.fold_in(rng, counter)
+            state, metrics = train_step(state, batch_images, batch_z,
+                                        step_rng)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            counter += 1
+            d_err = (metrics.get('joint_dis_dloss', 0.0)
+                     + metrics.get('image_dis_dloss', 0.0)
+                     + metrics.get('edge_dis_dloss', 0.0))
+            g_err = (metrics.get('edge_gloss', 0.0)
+                     + metrics.get('image_gloss', 0.0))
+            # reference stdout format incl. the 2x d-loss quirk Q11
+            # (models/edgegan.py:484-486)
+            print('Epoch: [%2d/%2d] [%4d/%4d] time: %4.4f, '
+                  'joint_dis_dloss: %.8f, joint_dis_gloss: %.8f'
+                  % (epoch, config.epoch, idx, len(dataset),
+                     time.time() - start_time, 2 * d_err, g_err))
+            metrics_log.write(json.dumps(
+                {'step': counter, 'epoch': epoch, **metrics}) + '\n')
+            metrics_log.flush()
+            # save cadence quirk Q9 (models/edgegan.py:487-489)
+            if counter % config.save_checkpoint_frequency == 2:
+                print(' [*] Saving checkpoints...')
+                ckpt.save(config.checkpoint_dir, counter, state)
+        loader.close()
+    metrics_log.close()
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,127 @@
+"""Configuration dataclasses.
+
+Field names and defaults mirror the reference flag sets
+(/root/reference/edgegan/train.py:13-75 and test.py:17-67) so that a
+user of the reference CLI can switch over without relearning flags.
+`update_flags` / `save_flags` reproduce the derived-path logic and the
+outputs/<name>/flags.json dump (train.py:85-107).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # shared flags (train.py:13-75 / test.py:17-67)
+    gpu: str = '0'                       # kept for CLI parity; unused on TPU
+    name: str = 'edgegan'
+    outputsroot: str = 'outputs'
+    epoch: int = 100
+    learning_rate: float = 2e-4
+    train_size: float = float('inf')
+    batch_size: int = 64
+    input_height: int = 64
+    input_width: Optional[int] = 128
+    output_height: int = 64
+    output_width: Optional[int] = 128
+    dataset: str = 'class14'
+    input_fname_pattern: str = '*png'
+    checkpoint_dir: Optional[str] = None
+    logdir: Optional[str] = None
+    dataroot: str = './data'
+    save_checkpoint_frequency: int = 500
+    crop: bool = False
+
+    stage1_zl_loss: float = 10.0
+    multiclasses: bool = True
+    num_classes: Optional[int] = 14
+    SPECTRAL_NORM_UPDATE_OPS: str = 'spectral_norm_update_ops'
+
+    if_resnet_e: bool = True
+    if_resnet_g: bool = False
+    if_resnet_d: bool = False
+    lambda_gp: float = 10.0
+
+    E_norm: str = 'instance'
+    G_norm: str = 'instance'
+    D_norm: str = 'instance'
+
+    use_image_discriminator: bool = True
+    image_dis_size: int = 128
+    use_edge_discriminator: bool = True
+    edge_dis_size: int = 128
+    joint_dweight: float = 1.0
+    image_dweight: float = 1.0
+    edge_dweight: float = 1.0
+    z_dim: int = 100
+
+    # test-only flags (test.py:45-54)
+    test_output_dir: Optional[str] = None
+    output_combination: str = 'full'
+    type: str = 'gpwgan'
+    optim: str = 'rmsprop'
+    model: str = 'old'
+
+    # --- TPU-native additions (no reference counterpart) ---
+    seed: int = 0                 # PRNG seed for params/noise
+    dtype: str = 'float32'        # compute dtype: float32 | bfloat16
+    update_mode: str = 'faithful'  # 'faithful' = sequential 7-group
+    #                                 chaining (models/edgegan.py:126-130);
+    #                                 'fast' = all grads from one snapshot
+    update_sn: bool = False       # False reproduces quirk Q3 (frozen u)
+    data_parallel: bool = True    # shard batch over the 'data' mesh axis
+    prefetch: int = 2             # host loader prefetch depth
+
+    def derive(self, phase: str = 'train') -> 'Config':
+        """Reference update_flags (train.py:85-98, test.py:85-97)."""
+        cfg = dataclasses.replace(self)
+        if cfg.input_width is None:
+            cfg.input_width = cfg.input_height
+        if cfg.output_width is None:
+            cfg.output_width = cfg.output_height
+        if phase == 'train' and not cfg.multiclasses:
+            cfg.num_classes = None
+        if phase == 'test':
+            cfg.batch_size = 1  # test.py:89 forces batch 1
+        path = os.path.join(cfg.outputsroot, cfg.name)
+        cfg.checkpoint_dir = os.path.join(path, 'checkpoints')
+        cfg.logdir = os.path.join(path, 'logs')
+        cfg.test_output_dir = os.path.join(path, 'test_output')
+        return cfg
+
+    def save(self):
+        """Dump flags.json like reference train.py:100-107."""
+        path = os.path.join(self.outputsroot, self.name)
+        os.makedirs(path, exist_ok=True)
+        d = {k: (str(v) if v == float('inf') else v)
+             for k, v in dataclasses.asdict(self).items()}
+        with open(os.path.join(path, 'flags.json'), 'w') as f:
+            json.dump(d, f, indent=4)
+
+
+def add_config_args(parser, phase: str = 'train'):
+    """Attach every Config field as a --flag (argparse front-end)."""
+    for field in dataclasses.fields(Config):
+        name = f'--{field.name}'
+        default = field.default
+        if field.type in ('bool', bool) or isinstance(default, bool):
+            parser.add_argument(name, type=lambda s: s.lower() in
+                                ('1', 'true', 'yes'), default=default)
+            parser.add_argument(f'--no{field.name}', dest=field.name,
+                                action='store_false')
+        elif isinstance(default, int):
+            parser.add_argument(name, type=int, default=default)
+        elif isinstance(default, float):
+            parser.add_argument(name, type=float, default=default)
+        else:
+            parser.add_argument(name, type=str, default=default)
+    return parser
+
+
+def config_from_args(args) -> Config:
+    names = {f.name for f in dataclasses.fields(Config)}
+    return Config(**{k: v for k, v in vars(args).items() if k in names})

@@ -1,0 +1,91 @@
+"""File-glob dataset (reference /root/reference/edgegan/utils/data/dataset.py).
+
+Directory semantics preserved exactly:
+  train multiclass:  dataroot/<name>/train/<classid>/*.{png,jpg}
+  train flat:        dataroot/<name>/train/*.png
+  test:              recursive sorted glob of *.{png,jpg}
+Last partial batch dropped (quirk Q10); class ids parsed from the parent
+directory name.
+"""
+from __future__ import annotations
+
+import os
+from glob import glob
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..utils.images import get_image
+
+
+def extension_match_recursive(root, exts):
+    result = []
+    for ext in exts:
+        result.extend(str(p) for p in Path(root).rglob(ext))
+    return result
+
+
+class Dataset:
+    def __init__(self, dataroot, name, size, batchsize, config,
+                 num_classes: Optional[int] = None, phase: str = 'train',
+                 rng: Optional[np.random.RandomState] = None):
+        assert phase in ('train', 'test')
+        self.batchsize = batchsize
+        self.num_classes = num_classes
+        self.config = config
+        self.phase = phase
+        self.rng = rng or np.random
+        if phase == 'train':
+            if num_classes is not None:
+                self.data = []
+                for i in range(num_classes):
+                    for ext in ('*.png', '*.jpg'):
+                        self.data.extend(glob(os.path.join(
+                            dataroot, name, phase, str(i), ext)))
+                data_path = os.path.join(dataroot, name, phase)
+            else:
+                data_path = os.path.join(dataroot, name, phase, '*.png')
+                self.data = glob(data_path)
+        else:
+            data_path = os.path.join(dataroot, name, phase)
+            self.data = sorted(extension_match_recursive(
+                data_path, ['*.png', '*.jpg']))
+
+        if len(self.data) == 0:
+            raise Exception(f"[!] No data found in '{data_path}'")
+        if len(self.data) < self.batchsize:
+            raise Exception('[!] Entire dataset size is less than the '
+                            'configured batch_size')
+        self.size = int(min(len(self.data), size))
+
+    def shuffle(self):
+        self.rng.shuffle(self.data)
+
+    def __len__(self):
+        return self.size // self.batchsize  # drops last partial batch (Q10)
+
+    def __getitem__(self, idx):
+        filenames = self.data[idx * self.batchsize:(idx + 1) * self.batchsize]
+        batch = [get_image(f,
+                           input_height=self.config['input_height'],
+                           input_width=self.config['input_width'],
+                           resize_height=self.config['output_height'],
+                           resize_width=self.config['output_width'],
+                           crop=self.config['crop'],
+                           grayscale=self.config['grayscale'])
+                 for f in filenames]
+        batch_images = np.array(batch).astype(np.float32)
+
+        if self.phase == 'train':
+            batch_z = self.rng.normal(
+                size=(self.batchsize, self.config['z_dim'])).astype(
+                    np.float32)
+            if self.num_classes is not None:
+                def get_class(path):
+                    return int(os.path.basename(os.path.dirname(path)))
+                classes = np.array([get_class(f) for f in filenames],
+                                   np.float32).reshape(self.batchsize, 1)
+                batch_z = np.concatenate([batch_z, classes], axis=1)
+            return batch_images, batch_z, filenames
+        return batch_images, filenames

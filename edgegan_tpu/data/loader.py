@@ -1,0 +1,54 @@
+"""Async prefetching loader.
+
+The reference decodes every image synchronously inside the train loop
+with no prefetch (dataset.py:58-67 -> scipy imread/imresize per file),
+stalling the accelerator. This loader decodes batches on a thread pool
+`prefetch` batches ahead and (optionally) device_puts them with the
+desired sharding so the TPU never waits on the host.
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Iterator, Optional
+
+import jax
+
+
+class PrefetchLoader:
+    def __init__(self, dataset, prefetch: int = 2,
+                 sharding: Optional[object] = None, num_workers: int = 8):
+        self.dataset = dataset
+        self.prefetch = max(1, prefetch)
+        self.sharding = sharding
+        self.pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+
+    def _put(self, item):
+        if self.sharding is None:
+            return item
+        out = []
+        for x in item:
+            if hasattr(x, 'shape'):
+                out.append(jax.device_put(x, self.sharding))
+            else:
+                out.append(x)
+        return tuple(out)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __iter__(self) -> Iterator:
+        n = len(self.dataset)
+        futures = {}
+        depth = min(self.prefetch, n)
+        for i in range(depth):
+            futures[i] = self.pool.submit(self.dataset.__getitem__, i)
+        for i in range(n):
+            item = futures.pop(i).result()
+            nxt = i + depth
+            if nxt < n:
+                futures[nxt] = self.pool.submit(
+                    self.dataset.__getitem__, nxt)
+            yield self._put(item)
+
+    def close(self):
+        self.pool.shutdown(wait=False)

@@ -1,0 +1,82 @@
+"""Loss functions (reference /root/reference/edgegan/nn/functional.py).
+
+All reductions are global means, matching the reference. Under
+data-parallel jit the batch axis is sharded and XLA turns these means
+into the appropriate cross-device reductions automatically.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def discriminator_ganloss(fake_out, real_out):
+    """WGAN critic loss `mean(fake - real)` (functional.py:32-33)."""
+    return jnp.mean(fake_out - real_out)
+
+
+def generator_ganloss(fake_out):
+    """`mean(-fake)` (functional.py:36-37)."""
+    return jnp.mean(-fake_out)
+
+
+def l1loss(output, target, weight):
+    """`weight * mean(|output - target|)` (functional.py:40-41)."""
+    return weight * jnp.mean(jnp.abs(output - target))
+
+
+def _sparse_ce(logits, labels):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+
+
+def get_acgan_loss_focal(real_logits, real_label, fake_logits, condition,
+                         num_classes, ld1=1.0, ld2=0.5, ld_focal=2.0):
+    """Focal AC-GAN losses (functional.py:5-16).
+
+    loss_ac_d = ld1 * mean((1 - p_true)^gamma * CE(real_logits, label))
+    loss_ac_g = ld2 * mean(CE(fake_logits, condition))
+    Returns (loss_ac_g, loss_ac_d) in the reference's order.
+    """
+    p = jax.nn.softmax(real_logits, axis=-1)
+    onehot = jax.nn.one_hot(real_label, num_classes, dtype=p.dtype)
+    pt = jnp.sum(p * onehot, axis=-1)
+    loss_ac_d = ld1 * jnp.mean(
+        (1.0 - pt) ** ld_focal * _sparse_ce(real_logits, real_label))
+    loss_ac_g = ld2 * jnp.mean(_sparse_ce(fake_logits, condition))
+    return loss_ac_g, loss_ac_d
+
+
+def get_class_loss(logits, label, num_classes, ld_focal=2.0):
+    """Focal CE (functional.py:19-24; unused by the model, kept for parity)."""
+    p = jax.nn.softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(label, num_classes, dtype=p.dtype)
+    pt = jnp.sum(p * onehot, axis=-1)
+    return jnp.mean((1.0 - pt) ** ld_focal * _sparse_ce(logits, label))
+
+
+def random_blend(a, b, rng):
+    """`b + alpha * (a - b)`, alpha ~ U[0,1) per sample
+    (models/edgegan.py:32-35)."""
+    alpha = jax.random.uniform(rng, (a.shape[0], 1, 1, 1), a.dtype)
+    return b + alpha * (a - b)
+
+
+def gradient_penalty(d_apply, synthesized, real, rng, weight):
+    """WGAN-GP on a random blend (models/edgegan.py:38-42,
+    functional.py:26-29).
+
+    Parity quirk Q4: the reference passes the discriminator's
+    (sigmoid(D), D) TUPLE into tf.gradients, so the penalty
+    differentiates sum(sigmoid(D)) + sum(D) w.r.t. the blend — not the
+    logits alone. Reproduced exactly.
+    """
+    interpolated = random_blend(synthesized, real, rng)
+
+    def f(x):
+        sig, logit = d_apply(x)
+        return jnp.sum(sig) + jnp.sum(logit)
+
+    grads = jax.grad(f)(interpolated)
+    grad_l2 = jnp.sqrt(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
+    return weight * jnp.mean((grad_l2 - 1.0) ** 2)

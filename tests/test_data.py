@@ -1,0 +1,118 @@
+"""Data pipeline tests: directory semantics, image transform parity
+(scipy bytescale behavior), prefetch loader ordering."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from edgegan_tpu.data import Dataset, PrefetchLoader
+from edgegan_tpu.utils import (bytescale, get_image, inverse_transform,
+                               merge, save_images, transform)
+
+CFG = {'input_height': 64, 'input_width': 128, 'output_height': 64,
+       'output_width': 128, 'crop': False, 'grayscale': False, 'z_dim': 10}
+
+
+def make_png(path, h=64, w=128, seed=0):
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+    return arr
+
+
+@pytest.fixture
+def dataroot(tmp_path):
+    root = str(tmp_path)
+    for cls in range(3):
+        for i in range(5):
+            make_png(os.path.join(root, 'ds', 'train', str(cls),
+                                  f'img_{i}.png'), seed=cls * 10 + i)
+    for cls in range(3):
+        make_png(os.path.join(root, 'ds', 'test', str(cls), 'a.png'),
+                 seed=cls)
+    # invalid class dir for mask test
+    make_png(os.path.join(root, 'ds', 'test', 'notaclass', 'b.png'), seed=99)
+    return root
+
+
+class TestTransform:
+    def test_full_range_image_roundtrip(self, tmp_path):
+        # an image spanning 0..255 passes through bytescale unchanged
+        arr = np.zeros((64, 128, 3), np.uint8)
+        arr[0, 0] = 0
+        arr[-1, -1] = 255
+        arr[10:20, 10:20] = 128
+        p = str(tmp_path / 'x.png')
+        Image.fromarray(arr).save(p)
+        out = get_image(p, 64, 128, 64, 128, crop=False)
+        expected = arr.astype(np.float64) / 127.5 - 1.0
+        np.testing.assert_allclose(out, expected, atol=1e-6)
+        assert out.min() >= -1.0 and out.max() <= 1.0
+
+    def test_bytescale_contrast_stretch(self):
+        # scipy.misc quirk: float arrays are min/max-stretched to 0..255
+        data = np.array([[10.0, 20.0], [30.0, 40.0]])
+        out = bytescale(data)
+        assert out.min() == 0 and out.max() == 255
+
+    def test_inverse_transform(self):
+        x = np.array([-1.0, 0.0, 1.0])
+        np.testing.assert_allclose(inverse_transform(x), [0.0, 0.5, 1.0])
+
+    def test_merge_grid(self):
+        imgs = np.arange(2 * 2 * 3 * 3, dtype=np.float64).reshape(2, 2, 3, 3)
+        grid = merge(imgs, (1, 2))
+        assert grid.shape == (2, 6, 3)
+        np.testing.assert_allclose(grid[:, :3], imgs[0])
+        np.testing.assert_allclose(grid[:, 3:], imgs[1])
+
+    def test_save_images(self, tmp_path):
+        img = np.random.RandomState(0).uniform(-1, 1, (1, 8, 8, 3))
+        path = str(tmp_path / 'out' / 'img.png')
+        save_images(img, [1, 1], path)
+        assert os.path.exists(path)
+        loaded = np.asarray(Image.open(path))
+        assert loaded.shape == (8, 8, 3)
+
+
+class TestDataset:
+    def test_train_multiclass_glob(self, dataroot):
+        ds = Dataset(dataroot, 'ds', float('inf'), 4, CFG, 3, 'train')
+        assert len(ds.data) == 15
+        assert len(ds) == 3  # 15 // 4: last partial batch dropped (Q10)
+
+    def test_batch_contents(self, dataroot):
+        ds = Dataset(dataroot, 'ds', float('inf'), 4, CFG, 3, 'train',
+                     rng=np.random.RandomState(0))
+        images, z, files = ds[0]
+        assert images.shape == (4, 64, 128, 3)
+        assert images.dtype == np.float32
+        assert z.shape == (4, 11)  # z_dim + class column
+        classes = z[:, -1]
+        expected = [int(os.path.basename(os.path.dirname(f)))
+                    for f in files]
+        np.testing.assert_allclose(classes, expected)
+
+    def test_test_phase_sorted_recursive(self, dataroot):
+        ds = Dataset(dataroot, 'ds', float('inf'), 1, CFG, None, 'test')
+        assert len(ds.data) == 4
+        assert ds.data == sorted(ds.data)
+        images, files = ds[0]
+        assert images.shape == (1, 64, 128, 3)
+
+    def test_empty_raises(self, tmp_path):
+        with pytest.raises(Exception, match='No data'):
+            Dataset(str(tmp_path), 'nope', float('inf'), 1, CFG, None,
+                    'train')
+
+
+class TestPrefetchLoader:
+    def test_order_preserved(self, dataroot):
+        ds = Dataset(dataroot, 'ds', float('inf'), 4, CFG, 3, 'train')
+        direct = [ds[i][2] for i in range(len(ds))]
+        loader = PrefetchLoader(ds, prefetch=2)
+        loaded = [files for _, _, files in loader]
+        assert direct == loaded
+        loader.close()

@@ -1,0 +1,85 @@
+"""Data-parallel tests on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from edgegan_tpu.core.config import Config
+from edgegan_tpu.parallel import (batch_sharding, create_mesh, replicated,
+                                  shard_batch)
+from edgegan_tpu.train import Networks, create_train_state, make_train_step
+
+
+def tiny_cfg():
+    return Config(batch_size=8, num_classes=3, z_dim=8,
+                  output_height=32, output_width=64,
+                  input_height=32, input_width=64,
+                  image_dis_size=32, edge_dis_size=32).derive('train')
+
+
+def test_mesh_creation(devices):
+    mesh = create_mesh(devices)
+    assert mesh.shape == {'data': 8}
+
+
+def test_sharded_train_step(devices):
+    cfg = tiny_cfg()
+    mesh = create_mesh(devices)
+    nets = Networks(cfg)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    state = jax.device_put(state, replicated(mesh))
+
+    b = cfg.batch_size
+    images = np.random.RandomState(0).randn(
+        b, 32, 64, 3).astype(np.float32).clip(-1, 1)
+    z = np.random.RandomState(1).randn(b, 9).astype(np.float32)
+    z[:, -1] = np.random.RandomState(2).randint(0, 3, b)
+    images, z = shard_batch(mesh, images, z)
+    assert images.sharding.spec == P('data')
+
+    step = jax.jit(make_train_step(nets, cfg))
+    new_state, metrics = step(state, images, z, jax.random.PRNGKey(3))
+    jax.block_until_ready(metrics)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # updated params stay replicated
+    leaf = jax.tree.leaves(new_state.params['G1'])[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_matches_single_device(devices):
+    """DP semantics: the sharded step must produce the same numbers as
+    the unsharded step (global-mean losses, replicated updates)."""
+    cfg = tiny_cfg()
+    nets = Networks(cfg)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    b = cfg.batch_size
+    images = jnp.asarray(np.random.RandomState(0).randn(
+        b, 32, 64, 3).astype(np.float32).clip(-1, 1))
+    z_np = np.random.RandomState(1).randn(b, 9).astype(np.float32)
+    z_np[:, -1] = np.random.RandomState(2).randint(0, 3, b)
+    z = jnp.asarray(z_np)
+
+    step = jax.jit(make_train_step(nets, cfg))
+    _, metrics_single = step(state, images, z, jax.random.PRNGKey(3))
+
+    mesh = create_mesh(devices)
+    state_r = jax.device_put(state, replicated(mesh))
+    images_s, z_s = shard_batch(mesh, np.asarray(images), z_np)
+    _, metrics_sharded = step(state_r, images_s, z_s, jax.random.PRNGKey(3))
+
+    for k in metrics_single:
+        np.testing.assert_allclose(float(metrics_single[k]),
+                                   float(metrics_sharded[k]),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_graft_dryrun_multichip():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'graft_entry', '/root/repo/__graft_entry__.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -1,0 +1,125 @@
+"""Fixed-seed single-step training tests: loss finiteness and parameter
+movement per optimizer group (SURVEY.md §4 strategy, §2.3 grouping)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgegan_tpu.core.config import Config
+from edgegan_tpu.train import Networks, create_train_state, make_train_step
+
+
+def tiny_cfg(**kw):
+    base = dict(batch_size=4, num_classes=3, z_dim=8,
+                output_height=32, output_width=64,
+                input_height=32, input_width=64,
+                image_dis_size=32, edge_dis_size=32)
+    base.update(kw)
+    return Config(**base).derive('train')
+
+
+def make_batch(cfg):
+    b = cfg.batch_size
+    images = jnp.asarray(np.random.RandomState(0).randn(
+        b, cfg.output_height, cfg.output_width, 3).astype(np.float32)
+        .clip(-1, 1))
+    zdim = cfg.z_dim + (1 if cfg.multiclasses else 0)
+    z = np.random.RandomState(1).randn(b, zdim).astype(np.float32)
+    if cfg.multiclasses:
+        z[:, -1] = np.random.RandomState(2).randint(0, cfg.num_classes, b)
+    return images, jnp.asarray(z)
+
+
+@pytest.fixture(scope='module')
+def multiclass_run():
+    cfg = tiny_cfg()
+    nets = Networks(cfg)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    step = jax.jit(make_train_step(nets, cfg))
+    images, z = make_batch(cfg)
+    new_state, metrics = step(state, images, z, jax.random.PRNGKey(3))
+    jax.block_until_ready(metrics)
+    return cfg, state, new_state, metrics
+
+
+def test_all_losses_finite(multiclass_run):
+    _, _, _, metrics = multiclass_run
+    expected = {'joint_dis_dloss', 'image_dis_dloss', 'edge_dis_dloss',
+                'loss_d_ac', 'edge_gloss', 'image_gloss', 'loss_g_ac',
+                'zl_loss'}
+    assert expected == set(metrics)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_every_group_moves(multiclass_run):
+    _, state, new_state, _ = multiclass_run
+    for name in ['G1', 'G2', 'D', 'D_patch2', 'D_patch3', 'D2', 'E']:
+        before = jax.tree.leaves(state.params[name])
+        after = jax.tree.leaves(new_state.params[name])
+        moved = max(float(jnp.max(jnp.abs(a - b)))
+                    for a, b in zip(before, after))
+        assert moved > 0, f'{name} did not move'
+
+
+def test_step_counter(multiclass_run):
+    _, state, new_state, _ = multiclass_run
+    assert int(state.step) == 0 and int(new_state.step) == 1
+
+
+def test_deterministic(multiclass_run):
+    cfg, state, new_state, metrics = multiclass_run
+    nets = Networks(cfg)
+    step = jax.jit(make_train_step(nets, cfg))
+    images, z = make_batch(cfg)
+    _, metrics2 = step(state, images, z, jax.random.PRNGKey(3))
+    for k in metrics:
+        np.testing.assert_allclose(float(metrics[k]), float(metrics2[k]),
+                                   rtol=1e-6)
+
+
+def test_singleclass_no_classifier():
+    cfg = tiny_cfg(multiclasses=False)
+    assert cfg.num_classes is None
+    nets = Networks(cfg)
+    assert nets.classifier is None
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    assert 'D2' not in state.params
+    step = jax.jit(make_train_step(nets, cfg))
+    images, z = make_batch(cfg)
+    _, metrics = step(state, images, z, jax.random.PRNGKey(3))
+    assert 'loss_d_ac' not in metrics
+    for k, v in metrics.items():
+        assert np.isfinite(float(v))
+
+
+def test_fast_mode_runs():
+    cfg = tiny_cfg(update_mode='fast')
+    nets = Networks(cfg)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    step = jax.jit(make_train_step(nets, cfg))
+    images, z = make_batch(cfg)
+    new_state, metrics = step(state, images, z, jax.random.PRNGKey(3))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v))
+    for name in new_state.params:
+        before = jax.tree.leaves(state.params[name])
+        after = jax.tree.leaves(new_state.params[name])
+        assert any(not np.allclose(a, b) for a, b in zip(before, after)), name
+
+
+def test_rmsprop_matches_tf_semantics():
+    # TF1 RMSProp: ms init 1.0, decay 0.9, eps 1e-10 inside sqrt.
+    from edgegan_tpu.train.state import make_optimizer
+    tx = make_optimizer(0.1)
+    params = {'w': jnp.array([1.0, 2.0])}
+    grads = {'w': jnp.array([0.5, -1.0])}
+    opt_state = tx.init(params)
+    updates, _ = tx.update(grads, opt_state, params)
+    g = np.array([0.5, -1.0])
+    ms = 0.9 * 1.0 + 0.1 * g ** 2
+    expected = -0.1 * g / np.sqrt(ms + 1e-10)
+    np.testing.assert_allclose(updates['w'], expected, rtol=1e-5)
