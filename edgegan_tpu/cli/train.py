@@ -69,12 +69,17 @@ def main(argv=None):
                          donate_argnums=(0,))
     metrics_log = open(os.path.join(config.logdir, 'metrics.jsonl'), 'a')
 
+    profiling = False
     start_time = time.time()
     for epoch in range(config.epoch):
         dataset.shuffle()
         loader = PrefetchLoader(dataset, prefetch=config.prefetch,
                                 sharding=data_sharding)
         for idx, (batch_images, batch_z, _files) in enumerate(loader):
+            if config.profile_steps and counter == 2 and not profiling:
+                jax.profiler.start_trace(
+                    os.path.join(config.logdir, 'profile'))
+                profiling = True
             step_rng = jax.random.fold_in(rng, counter)
             state, metrics = train_step(state, batch_images, batch_z,
                                         step_rng)
@@ -94,11 +99,18 @@ def main(argv=None):
             metrics_log.write(json.dumps(
                 {'step': counter, 'epoch': epoch, **metrics}) + '\n')
             metrics_log.flush()
+            if profiling and counter >= 2 + config.profile_steps:
+                jax.block_until_ready(state.step)
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f' [*] Profile written to {config.logdir}/profile')
             # save cadence quirk Q9 (models/edgegan.py:487-489)
             if counter % config.save_checkpoint_frequency == 2:
                 print(' [*] Saving checkpoints...')
                 ckpt.save(config.checkpoint_dir, counter, state)
         loader.close()
+    if profiling:
+        jax.profiler.stop_trace()
     metrics_log.close()
 
 

@@ -75,6 +75,8 @@ class Config:
     update_sn: bool = False       # False reproduces quirk Q3 (frozen u)
     data_parallel: bool = True    # shard batch over the 'data' mesh axis
     prefetch: int = 2             # host loader prefetch depth
+    profile_steps: int = 0        # >0: jax.profiler trace of N steps
+    #                               (written to <logdir>/profile)
 
     def derive(self, phase: str = 'train') -> 'Config':
         """Reference update_flags (train.py:85-98, test.py:85-97)."""

@@ -11,22 +11,25 @@ import jax.numpy as jnp
 
 
 def discriminator_ganloss(fake_out, real_out):
-    """WGAN critic loss `mean(fake - real)` (functional.py:32-33)."""
-    return jnp.mean(fake_out - real_out)
+    """WGAN critic loss `mean(fake - real)` (functional.py:32-33).
+    Reductions in f32 so bf16 compute keeps stable loss values."""
+    return jnp.mean(fake_out.astype(jnp.float32)
+                    - real_out.astype(jnp.float32))
 
 
 def generator_ganloss(fake_out):
     """`mean(-fake)` (functional.py:36-37)."""
-    return jnp.mean(-fake_out)
+    return jnp.mean(-fake_out.astype(jnp.float32))
 
 
 def l1loss(output, target, weight):
     """`weight * mean(|output - target|)` (functional.py:40-41)."""
-    return weight * jnp.mean(jnp.abs(output - target))
+    return weight * jnp.mean(jnp.abs(output.astype(jnp.float32)
+                                     - target.astype(jnp.float32)))
 
 
 def _sparse_ce(logits, labels):
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
 
 
@@ -38,7 +41,7 @@ def get_acgan_loss_focal(real_logits, real_label, fake_logits, condition,
     loss_ac_g = ld2 * mean(CE(fake_logits, condition))
     Returns (loss_ac_g, loss_ac_d) in the reference's order.
     """
-    p = jax.nn.softmax(real_logits, axis=-1)
+    p = jax.nn.softmax(real_logits.astype(jnp.float32), axis=-1)
     onehot = jax.nn.one_hot(real_label, num_classes, dtype=p.dtype)
     pt = jnp.sum(p * onehot, axis=-1)
     loss_ac_d = ld1 * jnp.mean(
@@ -77,6 +80,6 @@ def gradient_penalty(d_apply, synthesized, real, rng, weight):
         sig, logit = d_apply(x)
         return jnp.sum(sig) + jnp.sum(logit)
 
-    grads = jax.grad(f)(interpolated)
+    grads = jax.grad(f)(interpolated).astype(jnp.float32)
     grad_l2 = jnp.sqrt(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
     return weight * jnp.mean((grad_l2 - 1.0) ** 2)

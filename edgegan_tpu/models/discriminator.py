@@ -30,14 +30,18 @@ class Discriminator(nn.Module):
         return self._convnet(x)
 
     def _convnet(self, x):
+        # allow_pallas=False: the critics sit on the WGAN-GP path, which
+        # differentiates through them twice; the fused Pallas norm kernel
+        # only defines a first-order VJP.
         nf = self.num_filters
-        d = ConvBlock(nf, 4, 2, None, self.activation, name='d_conv_0')(x)
+        d = ConvBlock(nf, 4, 2, None, self.activation,
+                      allow_pallas=False, name='d_conv_0')(x)
         d = ConvBlock(nf * 2, 4, 2, self.norm, self.activation,
-                      name='d_conv_1')(d)
+                      allow_pallas=False, name='d_conv_1')(d)
         d = ConvBlock(nf * 4, 4, 2, self.norm, self.activation,
-                      name='d_conv_3')(d)
+                      allow_pallas=False, name='d_conv_3')(d)
         d = ConvBlock(nf * 8, 4, 2, self.norm, self.activation,
-                      name='d_conv_4')(d)
+                      allow_pallas=False, name='d_conv_4')(d)
         d = Linear(1, name='d_linear_5')(d.reshape(x.shape[0], -1))
         return 1.0 / (1.0 + jnp.exp(-d)), d
 

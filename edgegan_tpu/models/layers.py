@@ -40,6 +40,22 @@ zeros = nn.initializers.zeros
 ones = nn.initializers.ones
 
 
+def _norm_act(module: nn.Module, x, norm: Optional[str],
+              activation: Optional[str], name: str,
+              allow_pallas: bool = True):
+    """norm -> activation, fused into one Pallas kernel on TPU when the
+    pair is instance-norm + {None, relu, lrelu}. Callers on the
+    gradient-penalty path (the critics) must pass allow_pallas=False:
+    the fused kernel's custom VJP supports only first-order autodiff,
+    and WGAN-GP differentiates through the critic twice."""
+    from ..ops import pallas_kernels as pk
+    if (allow_pallas and norm == 'instance'
+            and activation in (None, 'relu', 'lrelu') and pk.should_use()):
+        return pk.instance_norm_act(x, activation)
+    x = _norm_apply(module, x, norm, name)
+    return activations.activation_fn(x, activation)
+
+
 def _norm_apply(module: nn.Module, x, norm: Optional[str], name: str):
     """Dispatch like reference normalization.py:10-29 inside a module."""
     if norm is None:
@@ -138,13 +154,14 @@ class ConvBlock(nn.Module):
     activation: Optional[str] = None
     pad: str = 'SAME'
     use_bias: bool = False
+    allow_pallas: bool = True
 
     @nn.compact
     def __call__(self, x):
         out = Conv2D(self.features, self.kernel_size, self.stride,
                      self.pad, self.use_bias, name='conv2d')(x)
-        out = _norm_apply(self, out, self.norm, 'norm')
-        return activations.activation_fn(out, self.activation)
+        return _norm_act(self, out, self.norm, self.activation, 'norm',
+                         self.allow_pallas)
 
 
 class DeconvBlock(nn.Module):
@@ -160,8 +177,7 @@ class DeconvBlock(nn.Module):
     def __call__(self, x):
         out = Deconv2D(self.features, self.out_hw, self.kernel_size,
                        self.stride, name='deconv2d')(x)
-        out = _norm_apply(self, out, self.norm, 'norm')
-        return activations.activation_fn(out, self.activation)
+        return _norm_act(self, out, self.norm, self.activation, 'norm')
 
 
 class Residual(nn.Module):

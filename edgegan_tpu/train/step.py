@@ -39,7 +39,13 @@ def make_train_step(nets: Networks, config: Config):
     tx = make_optimizer(config.learning_rate)
     z_dim = config.z_dim
     half_w = int(config.output_width / 2)
-    compute_dtype = jnp.bfloat16 if config.dtype == 'bfloat16' else jnp.float32
+    bf16 = config.dtype == 'bfloat16'
+    # Mixed precision: every layer casts its weights to the input dtype
+    # (w.astype(x.dtype)), so casting the batch to bf16 puts the whole
+    # forward/backward on the MXU in bf16 while master params, optimizer
+    # state, and loss reductions stay f32 (grads flow back through the
+    # casts as f32 automatically).
+    compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
     def split_pair(inputs):
         # left half = edge/sketch, right half = photo
@@ -101,8 +107,11 @@ def make_train_step(nets: Networks, config: Config):
         rngs = {name: jax.random.fold_in(rng, i) for i, name in enumerate(
             ['gp_joint', 'gp_image', 'gp_edge', 'noise_e'])}
 
-        edge_real, image_real = split_pair(images)
         labels = (z[:, -1].astype(jnp.int32) if config.multiclasses else None)
+        z_target32 = z[:, :z_dim] if config.multiclasses else z
+        images = images.astype(compute_dtype)
+        z = z.astype(compute_dtype)
+        edge_real, image_real = split_pair(images)
         z_in = nets.gen_input(z)
 
         # One generator forward shared by all D-side groups — G params do
@@ -183,8 +192,7 @@ def make_train_step(nets: Networks, config: Config):
                 p = {**params, 'E': e_params}
                 z_recon, _, _ = nets.encode(p, aux, edge_fake2,
                                             rngs['noise_e'])
-                z_target = z[:, :z_dim] if config.multiclasses else z
-                return L.l1loss(z_target, z_recon, config.stage1_zl_loss)
+                return L.l1loss(z_target32, z_recon, config.stage1_zl_loss)
 
             zl_loss, grads = jax.value_and_grad(e_loss)(params['E'])
             new_e, opt_states = update('e', grads, opt_states, params['E'])
@@ -206,8 +214,7 @@ def make_train_step(nets: Networks, config: Config):
                 p = {**params, 'E': e_params}
                 z_recon, _, _ = nets.encode(p, aux, edge_fake,
                                             rngs['noise_e'])
-                z_target = z[:, :z_dim] if config.multiclasses else z
-                return L.l1loss(z_target, z_recon, config.stage1_zl_loss)
+                return L.l1loss(z_target32, z_recon, config.stage1_zl_loss)
 
             zl_loss, grads = jax.value_and_grad(e_loss)(params['E'])
             new_e, opt_states = update('e', grads, opt_states, params['E'])

@@ -1,0 +1,90 @@
+"""TF-checkpoint importer tests: the name mapping must cover our full
+parameter tree (shape-exact), using a synthetic npz standing in for the
+released TF checkpoint."""
+import jax
+import numpy as np
+import pytest
+
+from edgegan_tpu import convert
+from edgegan_tpu.core.config import Config
+from edgegan_tpu.train.networks import Networks
+
+
+@pytest.fixture(scope='module')
+def full_config():
+    # the released checkpoint's architecture: 14 classes, z 100, 64x128
+    return Config().derive('train')
+
+
+@pytest.fixture(scope='module')
+def ref_trees(full_config):
+    nets = Networks(full_config)
+    return nets.init(jax.random.PRNGKey(0))
+
+
+def synth_npz(tmp_path, full_config, ref_params, ref_aux):
+    """Fabricate a TF-named npz with OUR shapes (mapping is 1:1 except
+    the conv2d2 bias, which TF stores as (1, C, 1, 1))."""
+    p_rules, a_rules = convert.param_rules(full_config)
+    data = {}
+
+    def get(tree, path):
+        node = tree
+        for k in path:
+            node = node[k]
+        return np.asarray(node)
+
+    for ours, theirs, fix in p_rules:
+        arr = get(ref_params, ours)
+        if fix is convert._squeeze_bias:
+            arr = arr.reshape(1, -1, 1, 1)
+        data[theirs] = np.asarray(np.random.RandomState(
+            len(data)).standard_normal(arr.shape), np.float32)
+    for ours, theirs, fix in a_rules:
+        collection = 'spectral' if ours[-1] == 'u' else 'batch_stats'
+        arr = get(ref_aux, (ours[0], collection) + ours[1:])
+        data[theirs] = np.asarray(np.random.RandomState(
+            len(data)).standard_normal(arr.shape), np.float32)
+    path = str(tmp_path / 'tf.npz')
+    np.savez(path, **data)
+    return path
+
+
+def test_rules_cover_every_param(full_config, ref_trees):
+    ref_params, ref_aux = ref_trees
+    p_rules, a_rules = convert.param_rules(full_config)
+    mapped = {r[0] for r in p_rules}
+
+    leaves = []
+
+    def walk(tree, path):
+        if hasattr(tree, 'items'):
+            for k, v in tree.items():
+                walk(v, path + (k,))
+        else:
+            leaves.append(path)
+
+    walk(ref_params, ())
+    unmapped = [p for p in leaves if p not in mapped]
+    assert not unmapped, f'{len(unmapped)} unmapped params: {unmapped[:8]}'
+    extra = [p for p in mapped if p not in leaves]
+    assert not extra, f'{len(extra)} rules with no param: {extra[:8]}'
+
+
+def test_import_roundtrip(tmp_path, full_config, ref_trees):
+    ref_params, ref_aux = ref_trees
+    npz = synth_npz(tmp_path, full_config, ref_params, ref_aux)
+    params, aux = convert.import_tf_npz(npz, full_config)
+    problems = convert.check_against(params, aux, full_config)
+    assert not problems, problems[:8]
+
+
+def test_missing_variable_raises(tmp_path, full_config, ref_trees):
+    ref_params, ref_aux = ref_trees
+    npz = synth_npz(tmp_path, full_config, ref_params, ref_aux)
+    data = dict(np.load(npz))
+    data.pop('G1/g_lin_0/Matrix')
+    path = str(tmp_path / 'incomplete.npz')
+    np.savez(path, **data)
+    with pytest.raises(KeyError, match='missing'):
+        convert.import_tf_npz(path, full_config)
