@@ -20,6 +20,46 @@ import numpy as np
 REFERENCE_STEPS_PER_SEC = 22000.0 / (15.0 * 3600.0)  # ~0.4074
 
 
+def bench_inference():
+    """images/sec/chip at 64x64 (encoder -> G1/G2 full test path),
+    batch 64 (the reference hard-codes batch 1; the path is
+    batch-agnostic here)."""
+    import jax
+    import jax.numpy as jnp
+    from edgegan_tpu.core.config import Config
+    from edgegan_tpu.infer import make_test_forward
+    from edgegan_tpu.train import Networks, create_train_state
+
+    config = Config().derive('test')
+    config.batch_size = 64
+    nets = Networks(config)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               config.learning_rate)
+    forward = make_test_forward(nets, config)
+    b = 64
+    inputs = jnp.asarray(np.random.RandomState(0).randn(
+        b, config.output_height, config.output_width, 3
+    ).astype(np.float32).clip(-1, 1))
+    classes = jnp.zeros((b,), jnp.int32)
+    rng = jax.random.PRNGKey(1)
+    out = forward(state.params, state.aux, inputs, classes, rng)
+    jax.block_until_ready(out)
+    n = 50
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = forward(state.params, state.aux, inputs, classes,
+                      jax.random.fold_in(rng, i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    images_per_sec = n * b / dt
+    print(json.dumps({
+        'metric': 'generated_images_per_sec_per_chip_64x64',
+        'value': round(images_per_sec, 1),
+        'unit': 'images/s',
+        'vs_baseline': None,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -66,4 +106,8 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == 'inference':
+        bench_inference()
+    else:
+        main()

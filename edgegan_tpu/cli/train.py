@@ -17,10 +17,11 @@ import numpy as np
 
 from ..core.config import Config, add_config_args, config_from_args
 from ..data import Dataset, PrefetchLoader
-from ..parallel import batch_sharding, create_mesh, replicated
+from ..parallel import (batch_sharding, create_mesh,
+                        maybe_distributed_init, replicated)
 from ..train import Networks, create_train_state, make_train_step
 from .. import checkpoint as ckpt
-from ..utils import makedirs
+from ..utils import makedirs, show_all_variables
 
 
 def main(argv=None):
@@ -28,6 +29,7 @@ def main(argv=None):
     add_config_args(parser, 'train')
     args = parser.parse_args(argv)
     config = config_from_args(args).derive('train')
+    maybe_distributed_init()
     config.save()
     makedirs(config.checkpoint_dir)
     makedirs(config.logdir)
@@ -43,7 +45,8 @@ def main(argv=None):
     }
     dataset = Dataset(config.dataroot, config.dataset, config.train_size,
                       config.batch_size, dataset_config,
-                      config.num_classes, 'train')
+                      config.num_classes, 'train',
+                      cache=config.cache_data)
 
     mesh = create_mesh() if config.data_parallel else None
     data_sharding = batch_sharding(mesh) if mesh else None
@@ -51,6 +54,7 @@ def main(argv=None):
     nets = Networks(config)
     rng = jax.random.PRNGKey(config.seed)
     state = create_train_state(nets, rng, config.learning_rate)
+    show_all_variables(state.params)
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
 
@@ -68,6 +72,8 @@ def main(argv=None):
     train_step = jax.jit(make_train_step(nets, config),
                          donate_argnums=(0,))
     metrics_log = open(os.path.join(config.logdir, 'metrics.jsonl'), 'a')
+    from ..summaries import SummaryWriter
+    tb = SummaryWriter(config.logdir, nets, config)
 
     profiling = False
     start_time = time.time()
@@ -99,6 +105,9 @@ def main(argv=None):
             metrics_log.write(json.dumps(
                 {'step': counter, 'epoch': epoch, **metrics}) + '\n')
             metrics_log.flush()
+            tb.scalars(counter, metrics)
+            if counter % config.summary_frequency == 0:
+                tb.extras(counter, state, batch_images, batch_z)
             if profiling and counter >= 2 + config.profile_steps:
                 jax.block_until_ready(state.step)
                 jax.profiler.stop_trace()
@@ -112,6 +121,7 @@ def main(argv=None):
     if profiling:
         jax.profiler.stop_trace()
     metrics_log.close()
+    tb.close()
 
 
 if __name__ == '__main__':

@@ -77,6 +77,11 @@ class Config:
     prefetch: int = 2             # host loader prefetch depth
     profile_steps: int = 0        # >0: jax.profiler trace of N steps
     #                               (written to <logdir>/profile)
+    cache_data: bool = True       # RAM-cache decoded images (the
+    #                               reference re-decodes every epoch)
+    summary_frequency: int = 100  # steps between TB histogram/image
+    #                               summaries (reference writes every
+    #                               step; set 1 for that behavior)
 
     def derive(self, phase: str = 'train') -> 'Config':
         """Reference update_flags (train.py:85-98, test.py:85-97)."""

@@ -29,13 +29,21 @@ def extension_match_recursive(root, exts):
 class Dataset:
     def __init__(self, dataroot, name, size, batchsize, config,
                  num_classes: Optional[int] = None, phase: str = 'train',
-                 rng: Optional[np.random.RandomState] = None):
+                 rng: Optional[np.random.RandomState] = None,
+                 cache: bool = False):
+        """`cache=True` keeps every decoded+transformed image in RAM as
+        float32 after first touch. The reference re-decodes and resizes
+        every PNG on every epoch (dataset.py:58-67); at TPU step times
+        (~2 ms) that host work dominates, and the whole SketchyCOCO
+        train set is only ~350 MB decoded."""
         assert phase in ('train', 'test')
         self.batchsize = batchsize
         self.num_classes = num_classes
         self.config = config
         self.phase = phase
         self.rng = rng or np.random
+        self.cache = cache
+        self._cache: dict = {}
         if phase == 'train':
             if num_classes is not None:
                 self.data = []
@@ -65,17 +73,24 @@ class Dataset:
     def __len__(self):
         return self.size // self.batchsize  # drops last partial batch (Q10)
 
+    def _load(self, f):
+        if self.cache and f in self._cache:
+            return self._cache[f]
+        img = np.asarray(get_image(
+            f,
+            input_height=self.config['input_height'],
+            input_width=self.config['input_width'],
+            resize_height=self.config['output_height'],
+            resize_width=self.config['output_width'],
+            crop=self.config['crop'],
+            grayscale=self.config['grayscale']), np.float32)
+        if self.cache:
+            self._cache[f] = img
+        return img
+
     def __getitem__(self, idx):
         filenames = self.data[idx * self.batchsize:(idx + 1) * self.batchsize]
-        batch = [get_image(f,
-                           input_height=self.config['input_height'],
-                           input_width=self.config['input_width'],
-                           resize_height=self.config['output_height'],
-                           resize_width=self.config['output_width'],
-                           crop=self.config['crop'],
-                           grayscale=self.config['grayscale'])
-                 for f in filenames]
-        batch_images = np.array(batch).astype(np.float32)
+        batch_images = np.stack([self._load(f) for f in filenames])
 
         if self.phase == 'train':
             batch_z = self.rng.normal(

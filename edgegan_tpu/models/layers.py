@@ -342,9 +342,15 @@ class MRUBlock(nn.Module):
     stride: int = 1
     sn: bool = True
     kernel_init: Callable = normal_002
+    deconv: bool = False  # reference conv.py:174-178 (dead path there:
+    #                       mru_conv hardwires deconv=False, conv.py:322)
 
     @nn.compact
     def __call__(self, inp, ht, update_sn: bool = False):
+        if self.deconv and self.stride == 2:
+            ht = pool.upsample_nearest(ht)
+        elif self.deconv and self.stride != 1:
+            raise NotImplementedError(self.stride)
         hidden_depth = ht.shape[-1]
         ht_orig = ht
         # norm_activ on hidden state (normalizer None, activation prelu):
@@ -380,8 +386,43 @@ class MRUBlock(nn.Module):
                                kernel_init=self.kernel_init, activation=None,
                                name='shortcut')(ht_orig, update_sn)
         ht_new = ht_orig + h_new
-        if self.stride == 2:
-            ht_new = pool.mean_pool(ht_new)
-        elif self.stride != 1:
-            raise NotImplementedError(self.stride)
+        if not self.deconv:
+            if self.stride == 2:
+                ht_new = pool.mean_pool(ht_new)
+            elif self.stride != 1:
+                raise NotImplementedError(self.stride)
         return ht_new
+
+
+class MRUStack(nn.Module):
+    """mru_conv (reference conv.py:298-357): a cascade of `num_blocks`
+    MRU cells sharing one input image; block 0 takes the requested
+    stride, later blocks run at stride 1 with their incoming hidden
+    state pre-pooled; `last_unit` applies the trailing prelu
+    (conv.py:353-355). The classifier's units are the num_blocks=1
+    special case (classifier.py:57-63)."""
+    filter_depth: int
+    num_blocks: int = 1
+    stride: int = 2
+    sn: bool = True
+    last_unit: bool = False
+    kernel_init: Callable = normal_002
+
+    @nn.compact
+    def __call__(self, x, hts, update_sn: bool = False):
+        assert len(hts) == self.num_blocks
+        hts_new = []
+        inp = x
+        for i in range(self.num_blocks):
+            ht = hts[i]
+            if i > 0 and self.stride == 2:
+                ht = pool.mean_pool(ht)
+            ht_new = MRUBlock(self.filter_depth,
+                              stride=self.stride if i == 0 else 1,
+                              sn=self.sn, kernel_init=self.kernel_init,
+                              name=f'layer_{i}')(inp, ht, update_sn)
+            hts_new.append(ht_new)
+            inp = ht_new
+        if self.last_unit:
+            hts_new[-1] = PReLU(name='last_norm_prelu')(hts_new[-1])
+        return hts_new

@@ -36,12 +36,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def maybe_distributed_init():
-    """Multi-host init (jax.distributed) — no-op in single-process runs."""
-    try:
-        if jax.process_count() > 1:
-            return  # already initialised by the launcher
-    except Exception:
-        pass
+    """Multi-host init: call jax.distributed.initialize() when a
+    coordinator is configured (TPU pod / multi-process launch); no-op
+    for single-process runs. Collectives then ride ICI within a slice
+    and DCN across slices — all through the same Mesh."""
+    import os
+    if (os.environ.get('JAX_COORDINATOR_ADDRESS')
+            or os.environ.get('COORDINATOR_ADDRESS')):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialised
 
 
 def shard_batch(mesh: Mesh, *arrays):

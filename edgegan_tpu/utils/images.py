@@ -132,3 +132,49 @@ def save_images(images: np.ndarray, size, image_path: str):
 
 def makedirs(path: str):
     os.makedirs(path, exist_ok=True)
+
+
+def image_manifold_size(num_images: int):
+    """utils.py:30-34: square-ish grid dims for a sample sheet."""
+    import math
+    manifold_h = int(np.floor(np.sqrt(num_images)))
+    manifold_w = int(np.ceil(np.sqrt(num_images)))
+    assert manifold_h * manifold_w == num_images
+    return manifold_h, manifold_w
+
+
+def merge_images(images, size):
+    """utils.py:62-63 (size unused there too)."""
+    return inverse_transform(images)
+
+
+def make_gif(images, fname, duration: float = 2.0, true_image: bool = False):
+    """utils.py:178-190 equivalent via PIL (no moviepy dependency):
+    animated GIF from a list of [-1,1] or uint8 frames."""
+    frames = []
+    for x in images:
+        if true_image:
+            arr = np.asarray(x, np.uint8)
+        else:
+            arr = ((np.asarray(x, np.float64) + 1) / 2 * 255).astype(
+                np.uint8)
+        frames.append(Image.fromarray(arr))
+    ms_per_frame = int(duration * 1000 / max(len(frames), 1))
+    os.makedirs(os.path.dirname(fname) or '.', exist_ok=True)
+    frames[0].save(fname, save_all=True, append_images=frames[1:],
+                   duration=ms_per_frame, loop=0)
+
+
+def show_all_variables(params_by_net):
+    """Parameter table at build time, like the reference's
+    slim.model_analyzer.analyze_vars (utils.py:36-38)."""
+    total = 0
+    print(f'{"network":<12} {"parameters":>14}')
+    for name in sorted(params_by_net):
+        import jax
+        n = sum(int(np.prod(np.asarray(l.shape, dtype=np.int64)))
+                for l in jax.tree.leaves(params_by_net[name]))
+        total += n
+        print(f'{name:<12} {n:>14,}')
+    print(f'{"TOTAL":<12} {total:>14,}')
+    return total
