@@ -73,10 +73,8 @@ class Dataset:
     def __len__(self):
         return self.size // self.batchsize  # drops last partial batch (Q10)
 
-    def _load(self, f):
-        if self.cache and f in self._cache:
-            return self._cache[f]
-        img = np.asarray(get_image(
+    def _load_pil(self, f):
+        return np.asarray(get_image(
             f,
             input_height=self.config['input_height'],
             input_width=self.config['input_width'],
@@ -84,13 +82,39 @@ class Dataset:
             resize_width=self.config['output_width'],
             crop=self.config['crop'],
             grayscale=self.config['grayscale']), np.float32)
-        if self.cache:
-            self._cache[f] = img
-        return img
+
+    def _native_eligible(self):
+        """The C++ loader covers the no-crop, no-grayscale, PNG,
+        source-already-at-target-size case bit-exactly; everything else
+        falls back to the PIL path per image."""
+        return not self.config['crop'] and not self.config['grayscale']
+
+    def _load_batch(self, filenames):
+        store = self._cache if self.cache else {}
+        missing = [f for f in filenames if f not in store]
+        if missing and self._native_eligible():
+            from . import native_loader
+            res = native_loader.decode_batch(
+                missing, self.config['output_height'],
+                self.config['output_width'])
+            if res is not None:
+                imgs, fail = res
+                for f, img, bad in zip(missing, imgs, fail):
+                    if not bad:
+                        store[f] = img
+        out = []
+        for f in filenames:
+            img = store.get(f)
+            if img is None:
+                img = self._load_pil(f)
+                if self.cache:
+                    store[f] = img
+            out.append(img)
+        return np.stack(out)
 
     def __getitem__(self, idx):
         filenames = self.data[idx * self.batchsize:(idx + 1) * self.batchsize]
-        batch_images = np.stack([self._load(f) for f in filenames])
+        batch_images = self._load_batch(filenames)
 
         if self.phase == 'train':
             batch_z = self.rng.normal(
