@@ -60,7 +60,7 @@ def bench_inference():
     }))
 
 
-def main():
+def main(dtype: str = 'float32', update_mode: str = 'faithful'):
     import jax
     import jax.numpy as jnp
     from edgegan_tpu.core.config import Config
@@ -69,7 +69,7 @@ def main():
 
     # Reference training config: batch 64, 64x128 pairs, 14 classes,
     # all three critics + classifier, faithful 7-group update.
-    config = Config().derive('train')
+    config = Config(dtype=dtype, update_mode=update_mode).derive('train')
     nets = Networks(config)
     state = create_train_state(nets, jax.random.PRNGKey(0),
                                config.learning_rate)
@@ -97,8 +97,13 @@ def main():
     dt = time.perf_counter() - t0
     steps_per_sec = n_steps / dt
 
+    suffix = ''
+    if dtype != 'float32':
+        suffix += f'_{dtype}'
+    if update_mode != 'faithful':
+        suffix += f'_{update_mode}'
     print(json.dumps({
-        'metric': 'train_steps_per_sec_b64_64x128_multiclass',
+        'metric': f'train_steps_per_sec_b64_64x128_multiclass{suffix}',
         'value': round(steps_per_sec, 4),
         'unit': 'steps/s',
         'vs_baseline': round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
@@ -109,5 +114,11 @@ if __name__ == '__main__':
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == 'inference':
         bench_inference()
+    elif len(sys.argv) > 1 and sys.argv[1] == 'bf16':
+        main(dtype='bfloat16')
+    elif len(sys.argv) > 1 and sys.argv[1] == 'fast':
+        main(update_mode='fast')
+    elif len(sys.argv) > 1 and sys.argv[1] == 'bf16fast':
+        main(dtype='bfloat16', update_mode='fast')
     else:
         main()
