@@ -20,6 +20,15 @@ import numpy as np
 REFERENCE_STEPS_PER_SEC = 22000.0 / (15.0 * 3600.0)  # ~0.4074
 
 
+def _force_completion(tree) -> float:
+    """True synchronization: a host transfer of a value that depends on
+    the computation. On this image's experimental remote TPU backend,
+    jax.block_until_ready returns before the device actually finishes —
+    timing loops closed with it overreport by >30x (measured)."""
+    import jax
+    return float(np.asarray(jax.tree.leaves(tree)[0]).ravel()[0])
+
+
 def bench_inference():
     """images/sec/chip at 64x64 (encoder -> G1/G2 full test path),
     batch 64 (the reference hard-codes batch 1; the path is
@@ -43,13 +52,17 @@ def bench_inference():
     classes = jnp.zeros((b,), jnp.int32)
     rng = jax.random.PRNGKey(1)
     out = forward(state.params, state.aux, inputs, classes, rng)
-    jax.block_until_ready(out)
+    _force_completion(out)
     n = 50
     t0 = time.perf_counter()
+    acc = None
     for i in range(n):
         out = forward(state.params, state.aux, inputs, classes,
                       jax.random.fold_in(rng, i))
-    jax.block_until_ready(out)
+        # chain batches so the loop can't be reordered away
+        e, im = out
+        acc = e if acc is None else acc + e
+    _force_completion(acc)
     dt = time.perf_counter() - t0
     images_per_sec = n * b / dt
     print(json.dumps({
@@ -87,13 +100,13 @@ def main(dtype: str = 'float32', update_mode: str = 'faithful'):
 
     # warmup / compile
     state, metrics = step(state, images, z, jax.random.fold_in(rng, 0))
-    jax.block_until_ready(metrics)
+    _force_completion(state.params['G1'])
 
-    n_steps = 20
+    n_steps = 40
     t0 = time.perf_counter()
     for i in range(1, n_steps + 1):
         state, metrics = step(state, images, z, jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics)
+    _force_completion(state.params['G1'])  # true sync (see above)
     dt = time.perf_counter() - t0
     steps_per_sec = n_steps / dt
 

@@ -89,7 +89,10 @@ def main(argv=None):
             step_rng = jax.random.fold_in(rng, counter)
             state, metrics = train_step(state, batch_images, batch_z,
                                         step_rng)
-            metrics = {k: float(v) for k, v in metrics.items()}
+            # one bulk device->host transfer (8 separate float() pulls
+            # cost 8 round trips through the TPU tunnel)
+            metrics = {k: float(v) for k, v in
+                       jax.device_get(metrics).items()}
             counter += 1
             d_err = (metrics.get('joint_dis_dloss', 0.0)
                      + metrics.get('image_dis_dloss', 0.0)
