@@ -59,15 +59,23 @@ def make_train_step(nets: Networks, config: Config):
             {**opt_states, group: new_opt}
 
     def g_losses(g1g2, params, aux, z_in, images, labels):
-        """(edge_gloss, image_gloss) as a function of generator params
-        (models/edgegan.py:314-332)."""
+        """edge_gloss(G1) + image_gloss(G2) (models/edgegan.py:314-332)
+        arranged so ONE backward pass yields exactly the reference's
+        per-generator gradients: the joint critic is applied twice, once
+        with G2's branch stop-gradiented (edge side) and once with G1's
+        (image side). d(edge_gloss)/dG1 and d(image_gloss)/dG2 match the
+        reference's two separate minimize() calls; the summed loss has
+        no cross terms because each generator is frozen in the other's
+        branch."""
         p = {**params, 'G1': g1g2[0], 'G2': g1g2[1]}
         edge_f, image_f = nets.generate(p, aux, z_in)
-        joint_f = jnp.concatenate([edge_f, image_f], axis=2)
-        _, fake_joint = nets.discriminate('D', p, aux, joint_f)
-        joint_gloss = L.generator_ganloss(fake_joint)
-        edge_gloss = config.joint_dweight * joint_gloss
-        image_gloss = config.joint_dweight * joint_gloss
+        sg = jax.lax.stop_gradient
+        joint_edge = jnp.concatenate([edge_f, sg(image_f)], axis=2)
+        joint_image = jnp.concatenate([sg(edge_f), image_f], axis=2)
+        _, fake_joint_e = nets.discriminate('D', p, aux, joint_edge)
+        _, fake_joint_i = nets.discriminate('D', p, aux, joint_image)
+        edge_gloss = config.joint_dweight * L.generator_ganloss(fake_joint_e)
+        image_gloss = config.joint_dweight * L.generator_ganloss(fake_joint_i)
         if config.use_edge_discriminator:
             _, fake_edge = nets.discriminate(
                 'D_patch3', p, aux,
@@ -84,20 +92,17 @@ def make_train_step(nets: Networks, config: Config):
             _, _, fake_logits = nets.classify(p, aux, image_f)
             loss_g_ac = 0.5 * jnp.mean(L._sparse_ce(fake_logits, labels))
             image_gloss += loss_g_ac
-        return (edge_gloss, image_gloss), loss_g_ac
+        return edge_gloss + image_gloss, (edge_gloss, image_gloss, loss_g_ac)
 
     def update_generators(params, aux, opt_states, z_in, images, labels):
-        """One g_optim run: separate grads for G1 (edge_gloss) and G2
-        (image_gloss) via a shared forward + two backward passes."""
-        ls, vjp_fn, loss_g_ac = jax.vjp(
-            lambda g1g2: g_losses(g1g2, params, aux, z_in, images, labels),
-            (params['G1'], params['G2']), has_aux=True)
-        g1_grads = vjp_fn((jnp.float32(1.0), jnp.float32(0.0)))[0][0]
-        g2_grads = vjp_fn((jnp.float32(0.0), jnp.float32(1.0)))[0][1]
-        new_g1, opt_states = update('g1', g1_grads, opt_states, params['G1'])
-        new_g2, opt_states = update('g2', g2_grads, opt_states, params['G2'])
+        """One g_optim run (both generators, models/edgegan.py:117-124):
+        one shared forward, one backward."""
+        (_, ls), grads = jax.value_and_grad(g_losses, has_aux=True)(
+            (params['G1'], params['G2']), params, aux, z_in, images, labels)
+        new_g1, opt_states = update('g1', grads[0], opt_states, params['G1'])
+        new_g2, opt_states = update('g2', grads[1], opt_states, params['G2'])
         params = {**params, 'G1': new_g1, 'G2': new_g2}
-        return params, opt_states, ls[0], ls[1], loss_g_ac
+        return params, opt_states, ls[0], ls[1], ls[2]
 
     def train_step(state: TrainState, images, z, rng) -> Tuple[TrainState,
                                                                Dict]:
