@@ -73,7 +73,8 @@ def bench_inference():
     }))
 
 
-def main(dtype: str = 'float32', update_mode: str = 'faithful'):
+def main(dtype: str = 'float32', update_mode: str = 'faithful',
+         hires: bool = False):
     import jax
     import jax.numpy as jnp
     from edgegan_tpu.core.config import Config
@@ -82,7 +83,13 @@ def main(dtype: str = 'float32', update_mode: str = 'faithful'):
 
     # Reference training config: batch 64, 64x128 pairs, 14 classes,
     # all three critics + classifier, faithful 7-group update.
-    config = Config(dtype=dtype, update_mode=update_mode).derive('train')
+    # hires = BASELINE config 5: 128x128 halves (128x256 pairs).
+    kw = {}
+    if hires:
+        kw = dict(input_height=128, input_width=256,
+                  output_height=128, output_width=256)
+    config = Config(dtype=dtype, update_mode=update_mode,
+                    **kw).derive('train')
     nets = Networks(config)
     state = create_train_state(nets, jax.random.PRNGKey(0),
                                config.learning_rate)
@@ -115,8 +122,9 @@ def main(dtype: str = 'float32', update_mode: str = 'faithful'):
         suffix += f'_{dtype}'
     if update_mode != 'faithful':
         suffix += f'_{update_mode}'
+    size = f'{config.output_height}x{config.output_width}'
     print(json.dumps({
-        'metric': f'train_steps_per_sec_b64_64x128_multiclass{suffix}',
+        'metric': f'train_steps_per_sec_b64_{size}_multiclass{suffix}',
         'value': round(steps_per_sec, 4),
         'unit': 'steps/s',
         'vs_baseline': round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
@@ -133,5 +141,7 @@ if __name__ == '__main__':
         main(update_mode='fast')
     elif len(sys.argv) > 1 and sys.argv[1] == 'bf16fast':
         main(dtype='bfloat16', update_mode='fast')
+    elif len(sys.argv) > 1 and sys.argv[1] == '128':
+        main(dtype='bfloat16', hires=True)
     else:
         main()
