@@ -58,6 +58,11 @@ def get_class_loss(logits, label, num_classes, ld_focal=2.0):
     return jnp.mean((1.0 - pt) ** ld_focal * _sparse_ce(logits, label))
 
 
+def flatten(x):
+    """Reshape to [batch, -1] (reference functional.py:44-45)."""
+    return x.reshape(x.shape[0], -1)
+
+
 def random_blend(a, b, rng):
     """`b + alpha * (a - b)`, alpha ~ U[0,1) per sample
     (models/edgegan.py:32-35)."""

@@ -35,6 +35,11 @@ def test_acgan_focal_golden():
     np.testing.assert_allclose(g, 0.5 * -np.log(1.0 / 3.0), rtol=1e-5)
 
 
+def test_flatten():
+    x = jnp.zeros((3, 4, 5, 2))
+    assert L.flatten(x).shape == (3, 40)
+
+
 def test_random_blend_range():
     key = jax.random.PRNGKey(0)
     a = jnp.ones((16, 2, 2, 1))
