@@ -35,7 +35,8 @@ def bench_inference():
     batch-agnostic here)."""
     import jax
     import jax.numpy as jnp
-    from edgegan_tpu.core.config import Config
+    from edgegan_tpu.core.config import Config, enable_compilation_cache
+    enable_compilation_cache()
     from edgegan_tpu.infer import make_test_forward
     from edgegan_tpu.train import Networks, create_train_state
 
@@ -76,6 +77,8 @@ def bench_inference():
 def main(dtype: str = 'float32', update_mode: str = 'faithful',
          hires: bool = False):
     import jax
+    from edgegan_tpu.core.config import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from edgegan_tpu.core.config import Config
     from edgegan_tpu.train import (Networks, create_train_state,

@@ -54,6 +54,8 @@ def main(argv=None):
     add_config_args(parser, 'test')
     args = parser.parse_args(argv)
     config = config_from_args(args).derive('test')
+    from ..core.config import enable_compilation_cache
+    enable_compilation_cache()
 
     makedirs(os.path.join(config.test_output_dir, config.dataset))
 

@@ -30,6 +30,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
     config = config_from_args(args).derive('train')
     maybe_distributed_init()
+    from ..core.config import enable_compilation_cache
+    enable_compilation_cache()
     config.save()
     makedirs(config.checkpoint_dir)
     makedirs(config.logdir)

@@ -86,5 +86,9 @@ def gradient_penalty(d_apply, synthesized, real, rng, weight):
         return jnp.sum(sig) + jnp.sum(logit)
 
     grads = jax.grad(f)(interpolated).astype(jnp.float32)
-    grad_l2 = jnp.sqrt(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
+    sumsq = jnp.sum(jnp.square(grads), axis=(1, 2, 3))
+    # sqrt backward is inf at 0; a sample with identically-zero critic
+    # gradient would NaN the whole step (same hazard in the reference).
+    grad_l2 = jnp.sqrt(jnp.where(sumsq > 0, sumsq, 1.0))
+    grad_l2 = jnp.where(sumsq > 0, grad_l2, 0.0)
     return weight * jnp.mean((grad_l2 - 1.0) ** 2)

@@ -366,7 +366,10 @@ class MRUBlock(nn.Module):
                       name='update_gate')(full_inp, update_sn)
         rg_min = jnp.min(rg, axis=(1, 2), keepdims=True)
         rg_max = jnp.max(rg, axis=(1, 2), keepdims=True)
-        rg = (rg - rg_min) / (rg_max - rg_min)
+        # spatially-constant gate -> 0/0 NaN in the reference; guard to
+        # a zero gate (identical everywhere the reference is finite)
+        rg_range = rg_max - rg_min
+        rg = (rg - rg_min) / jnp.where(rg_range > 0, rg_range, 1.0)
         # input image conv (reference conv.py:201-206)
         img_new = SNConv2D(hidden_depth, 3, 1, sn=self.sn,
                            kernel_init=self.kernel_init, activation=None,

@@ -28,11 +28,20 @@ def instance_norm(x, eps: float = 1e-5):
 
     Matches reference normalization.py:14-17: population variance over
     axes (1, 2), eps added OUTSIDE the sqrt.
+
+    Degenerate-case guard: at var == 0 (spatially constant channel,
+    e.g. a saturated generator) the reference's sqrt backward is
+    inf*0 = NaN and poisons training. The where-guard returns the same
+    forward value (0/eps = 0) and a zero gradient instead; numerics in
+    every non-degenerate case are bit-identical.
     """
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-    out = (x32 - mean) / (jnp.sqrt(var) + eps)
+    nondegenerate = var > 0
+    safe_var = jnp.where(nondegenerate, var, 1.0)
+    denom = jnp.where(nondegenerate, jnp.sqrt(safe_var) + eps, eps)
+    out = (x32 - mean) / denom
     return out.astype(x.dtype)
 
 

@@ -75,7 +75,9 @@ def _fwd_kernel(x_ref, out_ref, activation: Optional[str]):
     mean = jnp.sum(x, axis=0, keepdims=True) / n
     xc = x - mean
     var = jnp.sum(xc * xc, axis=0, keepdims=True) / n
-    y = xc / (jnp.sqrt(var) + EPS)
+    denom = jnp.where(var > 0, jnp.sqrt(jnp.where(var > 0, var, 1.0)) + EPS,
+                      EPS)
+    y = xc / denom
     out_ref[0] = _act_fwd(y, activation).astype(out_ref.dtype)
 
 
@@ -86,12 +88,16 @@ def _bwd_kernel(x_ref, g_ref, dx_ref, activation: Optional[str]):
     mean = jnp.sum(x, axis=0, keepdims=True) / n
     xc = x - mean
     var = jnp.sum(xc * xc, axis=0, keepdims=True) / n
-    s = jnp.sqrt(var)
-    d = s + EPS
+    nondeg = var > 0
+    s = jnp.sqrt(jnp.where(nondeg, var, 1.0))
+    d = jnp.where(nondeg, s + EPS, EPS)
     y_pre = xc / d
     gp = _act_bwd(g, y_pre, activation)
     gp_mean = jnp.sum(gp, axis=0, keepdims=True) / n
     gy_mean = jnp.sum(gp * y_pre, axis=0, keepdims=True) / n
+    # degenerate channels (var == 0): y_pre == 0 so the var term drops
+    # and this reduces to (gp - gp_mean)/EPS — identical to the
+    # where-guarded jnp path's gradient
     dx = (gp - gp_mean) / d - y_pre * gy_mean / s
     dx_ref[0] = dx.astype(dx_ref.dtype)
 

@@ -183,6 +183,16 @@ def make_train_step(nets: Networks, config: Config):
             params = {**params, 'D2': new_c}
             metrics['loss_d_ac'] = loss_d_ac
 
+            if config.update_sn:
+                # "fixed" mode (vs the reference's frozen-u quirk Q3):
+                # advance every spectral-norm u by one power iteration
+                # per step and thread the new state through.
+                _, new_vars = nets.classifier.apply(
+                    {'params': params['D2'], **aux['D2']}, image_real,
+                    True, mutable=['spectral'])
+                aux = {**aux, 'D2': {**aux['D2'],
+                                     'spectral': new_vars['spectral']}}
+
         if config.update_mode == 'faithful':
             # ---- group 5: generators (first update, quirk Q5) ----
             params, opt_states, eg, ig, gac = update_generators(
@@ -227,7 +237,7 @@ def make_train_step(nets: Networks, config: Config):
             metrics['zl_loss'] = zl_loss
 
         new_state = state.replace(step=state.step + 1, params=params,
-                                  opt_states=opt_states)
+                                  aux=aux, opt_states=opt_states)
         return new_state, metrics
 
     return train_step

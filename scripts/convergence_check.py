@@ -1,0 +1,131 @@
+"""End-to-end learning check on structured synthetic data.
+
+Builds a dataset of 64x128 sketch|photo pairs where the photo half is a
+colored rectangle (color = class: 0 red, 1 green, 2 blue) on gray and
+the sketch half is its edge map. Trains the full pipeline for a few
+hundred steps, then asks the trained generator for each class and
+checks the generated photo half is dominated by the class color —
+evidence the class-conditional GAN actually learns, beyond loss curves.
+
+Usage: python scripts/convergence_check.py [--steps 600] [--dataroot D]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_dataset(root: str, n_per_class: int = 80):
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    colors = [(220, 40, 40), (40, 220, 40), (40, 40, 220)]
+    for cls, color in enumerate(colors):
+        d = os.path.join(root, 'shapes', 'train', str(cls))
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_per_class):
+            photo = np.full((64, 64, 3), 128, np.uint8)
+            edge = np.full((64, 64, 3), 255, np.uint8)
+            y0, x0 = rng.randint(8, 28, 2)
+            y1, x1 = y0 + rng.randint(16, 30), x0 + rng.randint(16, 30)
+            y1, x1 = min(y1, 60), min(x1, 60)
+            photo[y0:y1, x0:x1] = color
+            edge[y0, x0:x1] = 0
+            edge[y1 - 1, x0:x1] = 0
+            edge[y0:y1, x0] = 0
+            edge[y0:y1, x1 - 1] = 0
+            pair = np.concatenate([edge, photo], axis=1)
+            Image.fromarray(pair).save(os.path.join(d, f'{i}.png'))
+    return os.path.join(root, 'shapes')
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--steps', type=int, default=600)
+    p.add_argument('--dataroot', default='/tmp/egshapes')
+    p.add_argument('--batch_size', type=int, default=32)
+    args = p.parse_args()
+
+    build_dataset(args.dataroot)
+
+    import jax
+    import jax.numpy as jnp
+    from edgegan_tpu.core.config import Config
+    from edgegan_tpu.data import Dataset, PrefetchLoader
+    from edgegan_tpu.train import (Networks, create_train_state,
+                                   make_train_step)
+
+    config = Config(batch_size=args.batch_size, num_classes=3,
+                    dataroot=args.dataroot, dataset='shapes').derive('train')
+    dataset = Dataset(config.dataroot, config.dataset, config.train_size,
+                      config.batch_size, {
+                          'input_height': 64, 'input_width': 128,
+                          'output_height': 64, 'output_width': 128,
+                          'crop': False, 'grayscale': False, 'z_dim': 100,
+                      }, 3, 'train', cache=True)
+    nets = Networks(config)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(nets, rng, config.learning_rate)
+    step = jax.jit(make_train_step(nets, config), donate_argnums=(0,))
+
+    def color_scores(images_by_class):
+        """Per class: mean of the class channel minus mean of the other
+        channels over the generated photo (rescaled to [0,1])."""
+        scores = []
+        for cls in range(3):
+            img = (np.asarray(images_by_class[cls]) + 1.0) / 2.0
+            chan = img[..., cls].mean()
+            others = np.mean([img[..., c].mean() for c in range(3)
+                              if c != cls])
+            scores.append(float(chan - others))
+        return scores
+
+    def sample_all_classes(state, key):
+        out = {}
+        for cls in range(3):
+            z = jax.random.normal(jax.random.fold_in(key, cls),
+                                  (8, config.z_dim))
+            z = jnp.concatenate(
+                [z, jnp.full((8, 1), float(cls))], axis=1)
+            z_in = nets.gen_input(z)
+            _, image = nets.generate(state.params, state.aux, z_in)
+            out[cls] = image
+        return out
+
+    init_scores = color_scores(sample_all_classes(state, rng))
+    print('initial per-class color scores:',
+          [round(s, 4) for s in init_scores])
+
+    done = 0
+    import time
+    t0 = time.time()
+    while done < args.steps:
+        dataset.shuffle()
+        loader = PrefetchLoader(dataset, prefetch=2)
+        for images, z, _files in loader:
+            state, metrics = step(state, jnp.asarray(images),
+                                  jnp.asarray(z),
+                                  jax.random.fold_in(rng, done))
+            done += 1
+            if done % 100 == 0:
+                m = {k: round(float(v), 3)
+                     for k, v in jax.device_get(metrics).items()}
+                print(f'step {done} ({time.time()-t0:.0f}s): {m}')
+            if done >= args.steps:
+                break
+        loader.close()
+
+    final_scores = color_scores(sample_all_classes(state, rng))
+    print('final per-class color scores:  ',
+          [round(s, 4) for s in final_scores])
+    improved = sum(f > i + 0.05 for f, i in zip(final_scores, init_scores))
+    print(f'classes with clearly improved color conditioning: {improved}/3')
+    print('LEARNING CHECK', 'PASS' if improved >= 2 else 'WEAK')
+
+
+if __name__ == '__main__':
+    main()

@@ -123,3 +123,20 @@ def test_rmsprop_matches_tf_semantics():
     ms = 0.9 * 1.0 + 0.1 * g ** 2
     expected = -0.1 * g / np.sqrt(ms + 1e-10)
     np.testing.assert_allclose(updates['w'], expected, rtol=1e-5)
+
+
+def test_update_sn_advances_u():
+    """--update_sn true must advance the classifier's spectral-norm u
+    vectors each step; default (quirk Q3) keeps them frozen."""
+    for flag, should_move in [(False, False), (True, True)]:
+        cfg = tiny_cfg(update_sn=flag)
+        nets = Networks(cfg)
+        state = create_train_state(nets, jax.random.PRNGKey(0),
+                                   cfg.learning_rate)
+        step = jax.jit(make_train_step(nets, cfg))
+        images, z = make_batch(cfg)
+        new_state, _ = step(state, images, z, jax.random.PRNGKey(3))
+        before = jax.tree.leaves(state.aux['D2']['spectral'])
+        after = jax.tree.leaves(new_state.aux['D2']['spectral'])
+        moved = any(not np.allclose(a, b) for a, b in zip(before, after))
+        assert moved == should_move, (flag, moved)
