@@ -43,7 +43,11 @@ def classes_of(filenames, num_classes):
                 continue
             result.append(classid)
             mask.append(True)
-        except ValueError:
+        except (ValueError, IndexError):
+            # The reference uses a bare except (test paths lacking a
+            # parent dir component raise IndexError, unparsable class
+            # ids raise ValueError) — both are masked out, not fatal
+            # (models/edgegan.py:556-570).
             mask.append(False)
     return result, np.array(mask, dtype=bool)
 

@@ -41,9 +41,14 @@ def _gen_rules(scope: str):
         # linear projection
         ((scope, 'g_lin_0', 'Matrix'), f'{scope}/g_lin_0/Matrix', None),
         ((scope, 'g_lin_0', 'bias'), f'{scope}/g_lin_0/bias', None),
-        # first-norm batch norm (the nn.norm(h0, norm) quirk)
-        ((scope, 'g_norm_0_gamma'), f'{scope}/batch_norm/gamma', None),
-        ((scope, 'g_norm_0_beta'), f'{scope}/batch_norm/beta', None),
+        # first-norm batch norm (the nn.norm(h0, norm) quirk). nn.norm
+        # opens 'batch_norm' (normalization.py:20) and contrib's
+        # batch_norm opens its own 'BatchNorm' sub-scope, so TF dumps
+        # contain '<G>/batch_norm/BatchNorm/<var>'.
+        ((scope, 'g_norm_0_gamma'),
+         f'{scope}/batch_norm/BatchNorm/gamma', None),
+        ((scope, 'g_norm_0_beta'),
+         f'{scope}/batch_norm/BatchNorm/beta', None),
     ] + [
         ((scope, f'g_dconv_{i}', 'deconv2d', ours),
          f'{scope}/g_dconv_{i}/deconv2d/{theirs}', None)
@@ -53,9 +58,10 @@ def _gen_rules(scope: str):
 
 def _gen_stats_rules(scope: str):
     return [
-        ((scope, 'g_norm_0_mean'), f'{scope}/batch_norm/moving_mean', None),
-        ((scope, 'g_norm_0_var'), f'{scope}/batch_norm/moving_variance',
-         None),
+        ((scope, 'g_norm_0_mean'),
+         f'{scope}/batch_norm/BatchNorm/moving_mean', None),
+        ((scope, 'g_norm_0_var'),
+         f'{scope}/batch_norm/BatchNorm/moving_variance', None),
     ]
 
 

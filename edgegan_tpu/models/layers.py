@@ -71,6 +71,14 @@ def _norm_apply(module: nn.Module, x, norm: Optional[str], name: str):
                                    lambda: jnp.zeros((c,), jnp.float32))
         mov_var = module.variable('batch_stats', f'{name}_var',
                                   lambda: jnp.ones((c,), jnp.float32))
+        # Moving stats are intentionally FROZEN during training: the
+        # reference updates them in-place on every forward
+        # (updates_collections=None) but never consumes them — contrib
+        # batch_norm runs with is_training=True even in the test graph
+        # (normalization.py:25, quirk Q14) — so only the checkpointed
+        # values would differ, never an activation. The train step keeps
+        # 'batch_stats' immutable; the TF importer (convert.py) restores
+        # the reference's accumulated values verbatim for parity.
         if module.is_mutable_collection('batch_stats'):
             mov_mean.value = 0.9 * mov_mean.value + 0.1 * mean
             mov_var.value = 0.9 * mov_var.value + 0.1 * var
