@@ -22,12 +22,31 @@ def _ckpt_path(checkpoint_dir: str, step: int) -> str:
                         f'{MODEL_NAME}-{step}')
 
 
-def save(checkpoint_dir: str, step: int, state: Any):
-    """Save the full train state at `step`."""
+def save(checkpoint_dir: str, step: int, state: Any, keep: int = 5):
+    """Save the full train state at `step`.
+
+    Retains the newest `keep` checkpoints (tf.train.Saver's
+    max_to_keep=5 default, reference models/edgegan.py:421); keep<=0
+    disables the GC.
+    """
     path = _ckpt_path(checkpoint_dir, step)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
+    # retention GC is a host-side delete: one process only
+    if keep > 0 and jax.process_index() == 0:
+        _gc(checkpoint_dir, keep)
+
+
+def _gc(checkpoint_dir: str, keep: int):
+    import shutil
+    steps = []
+    for name in os.listdir(checkpoint_dir):
+        m = re.fullmatch(rf'{MODEL_NAME}-(\d+)', name)
+        if m:
+            steps.append(int(m.group(1)))
+    for step in sorted(steps)[:-keep]:
+        shutil.rmtree(_ckpt_path(checkpoint_dir, step), ignore_errors=True)
 
 
 def latest_step(checkpoint_dir: str) -> Optional[int]:

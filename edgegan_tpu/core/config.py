@@ -82,6 +82,15 @@ class Config:
     summary_frequency: int = 100  # steps between TB histogram/image
     #                               summaries (reference writes every
     #                               step; set 1 for that behavior)
+    reference_metrics: bool = False  # True re-evaluates the reported
+    #                               losses AFTER all optimizer groups,
+    #                               matching the reference's logging
+    #                               protocol (models/edgegan.py:464-486)
+    #                               at the cost of extra forward passes;
+    #                               False logs each group's own loss.
+    keep_checkpoint_max: int = 5  # retained checkpoints (tf.train.Saver
+    #                               max_to_keep default,
+    #                               models/edgegan.py:421); 0 = keep all
 
     def derive(self, phase: str = 'train') -> 'Config':
         """Reference update_flags (train.py:85-98, test.py:85-97)."""

@@ -22,7 +22,9 @@ from flax.metrics import tensorboard
 from .ops.resize import resize
 from .utils.images import inverse_transform
 
-SCALARS = ['joint_dis_dloss', 'image_dis_dloss', 'edge_dis_dloss',
+SCALARS = ['joint_dis_dloss', 'joint_dis_gloss',
+           'image_dis_dloss', 'image_dis_gloss',
+           'edge_dis_dloss', 'edge_dis_gloss',
            'loss_d_ac', 'edge_gloss', 'image_gloss', 'loss_g_ac', 'zl_loss']
 
 
@@ -34,19 +36,37 @@ class SummaryWriter:
         self._sample = jax.jit(self._sample_fn)
 
     def _sample_fn(self, params, aux, z, images):
+        """One forward producing the reference's full d_sum/g_sum content
+        (models/edgegan.py:344-411): generator/resized image summaries,
+        joint-D and both patch-D sigmoid histograms on real AND fake."""
+        cfg = self.config
+        half_w = int(cfg.output_width / 2)
+        edge_real = images[:, :, :half_w, :]
+        image_real = images[:, :, half_w:cfg.output_width, :]
         z_in = self.nets.gen_input(z)
         edge_out, image_out = self.nets.generate(params, aux, z_in)
-        outs = {'G1': edge_out, 'G2': image_out}
-        if self.config.use_image_discriminator:
-            outs['resized_G_image'] = resize(
-                image_out, (self.config.image_dis_size,) * 2)
-        if self.config.use_edge_discriminator:
-            outs['resized_G_p3_image'] = resize(
-                edge_out, (self.config.edge_dis_size,) * 2)
+        imgs = {'G1': edge_out, 'G2': image_out}
+        hists = {}
         joint = jnp.concatenate([edge_out, image_out], axis=2)
-        sig_real, _ = self.nets.discriminate('D', params, aux, images)
-        sig_fake, _ = self.nets.discriminate('D', params, aux, joint)
-        return outs, sig_real, sig_fake
+        hists['d'], _ = self.nets.discriminate('D', params, aux, images)
+        hists['d_'], _ = self.nets.discriminate('D', params, aux, joint)
+        if cfg.use_image_discriminator:
+            size = (cfg.image_dis_size,) * 2
+            imgs['resized_inputs_image'] = resize(image_real, size)
+            imgs['resized_G_image'] = resize(image_out, size)
+            hists['imageD'], _ = self.nets.discriminate(
+                'D_patch2', params, aux, imgs['resized_inputs_image'])
+            hists['imageDfake'], _ = self.nets.discriminate(
+                'D_patch2', params, aux, imgs['resized_G_image'])
+        if cfg.use_edge_discriminator:
+            size = (cfg.edge_dis_size,) * 2
+            imgs['resized_inputs_p3_image'] = resize(edge_real, size)
+            imgs['resized_G_p3_image'] = resize(edge_out, size)
+            hists['edgeD'], _ = self.nets.discriminate(
+                'D_patch3', params, aux, imgs['resized_inputs_p3_image'])
+            hists['edgeDfake'], _ = self.nets.discriminate(
+                'D_patch3', params, aux, imgs['resized_G_p3_image'])
+        return imgs, hists
 
     def scalars(self, step: int, metrics: Dict[str, float]):
         for k in SCALARS:
@@ -55,13 +75,13 @@ class SummaryWriter:
 
     def extras(self, step: int, state, images, z):
         """Histogram + image summaries (mirrors d_sum/g_sum content)."""
-        outs, sig_real, sig_fake = self._sample(
+        imgs, hists = self._sample(
             state.params, state.aux, jnp.asarray(z), jnp.asarray(images))
         self.writer.histogram('z', np.asarray(z), step)
-        self.writer.histogram('d', np.asarray(sig_real), step)
-        self.writer.histogram('d_', np.asarray(sig_fake), step)
+        for name, arr in hists.items():
+            self.writer.histogram(name, np.asarray(arr), step)
         self.writer.image('inputs', _grid(np.asarray(images)), step)
-        for name, arr in outs.items():
+        for name, arr in imgs.items():
             self.writer.image(name, _grid(np.asarray(arr)), step)
         self.writer.flush()
 

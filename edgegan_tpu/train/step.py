@@ -74,25 +74,32 @@ def make_train_step(nets: Networks, config: Config):
         joint_image = jnp.concatenate([sg(edge_f), image_f], axis=2)
         _, fake_joint_e = nets.discriminate('D', p, aux, joint_edge)
         _, fake_joint_i = nets.discriminate('D', p, aux, joint_image)
-        edge_gloss = config.joint_dweight * L.generator_ganloss(fake_joint_e)
+        # per-critic g-losses are standalone reference tensors
+        # (joint/image/edge_dis_gloss, models/edgegan.py:286,295,309) —
+        # reported unweighted; the stop-gradient doesn't change values,
+        # so fake_joint_e == the reference's fakejoint_dis_output.
+        sub = {'joint_dis_gloss': L.generator_ganloss(fake_joint_e)}
+        edge_gloss = config.joint_dweight * sub['joint_dis_gloss']
         image_gloss = config.joint_dweight * L.generator_ganloss(fake_joint_i)
         if config.use_edge_discriminator:
             _, fake_edge = nets.discriminate(
                 'D_patch3', p, aux,
                 resize(edge_f, (config.edge_dis_size,) * 2))
-            edge_gloss += config.edge_dweight * L.generator_ganloss(fake_edge)
+            sub['edge_dis_gloss'] = L.generator_ganloss(fake_edge)
+            edge_gloss += config.edge_dweight * sub['edge_dis_gloss']
         if config.use_image_discriminator:
             _, fake_image = nets.discriminate(
                 'D_patch2', p, aux,
                 resize(image_f, (config.image_dis_size,) * 2))
-            image_gloss += config.image_dweight * L.generator_ganloss(
-                fake_image)
+            sub['image_dis_gloss'] = L.generator_ganloss(fake_image)
+            image_gloss += config.image_dweight * sub['image_dis_gloss']
         loss_g_ac = 0.0
         if config.multiclasses:
             _, _, fake_logits = nets.classify(p, aux, image_f)
             loss_g_ac = 0.5 * jnp.mean(L._sparse_ce(fake_logits, labels))
             image_gloss += loss_g_ac
-        return edge_gloss + image_gloss, (edge_gloss, image_gloss, loss_g_ac)
+        return edge_gloss + image_gloss, (edge_gloss, image_gloss, loss_g_ac,
+                                          sub)
 
     def update_generators(params, aux, opt_states, z_in, images, labels):
         """One g_optim run (both generators, models/edgegan.py:117-124):
@@ -102,7 +109,13 @@ def make_train_step(nets: Networks, config: Config):
         new_g1, opt_states = update('g1', grads[0], opt_states, params['G1'])
         new_g2, opt_states = update('g2', grads[1], opt_states, params['G2'])
         params = {**params, 'G1': new_g1, 'G2': new_g2}
-        return params, opt_states, ls[0], ls[1], ls[2]
+        return params, opt_states, ls
+
+    def record_g(metrics, ls):
+        eg, ig, gac, sub = ls
+        metrics['edge_gloss'], metrics['image_gloss'] = eg, ig
+        metrics['loss_g_ac'] = gac
+        metrics.update(sub)
 
     def train_step(state: TrainState, images, z, rng) -> Tuple[TrainState,
                                                                Dict]:
@@ -195,10 +208,9 @@ def make_train_step(nets: Networks, config: Config):
 
         if config.update_mode == 'faithful':
             # ---- group 5: generators (first update, quirk Q5) ----
-            params, opt_states, eg, ig, gac = update_generators(
+            params, opt_states, ls = update_generators(
                 params, aux, opt_states, z_in, images, labels)
-            metrics['edge_gloss'], metrics['image_gloss'] = eg, ig
-            metrics['loss_g_ac'] = gac
+            record_g(metrics, ls)
 
             # ---- group 6: encoder (z-reconstruction L1) ----
             edge_fake2, _ = nets.generate(params, aux, z_in)  # new G1
@@ -215,15 +227,13 @@ def make_train_step(nets: Networks, config: Config):
             metrics['zl_loss'] = zl_loss
 
             # ---- group 7: generators again (same optimizer slots) ----
-            params, opt_states, eg, ig, gac = update_generators(
+            params, opt_states, ls = update_generators(
                 params, aux, opt_states, z_in, images, labels)
-            metrics['edge_gloss'], metrics['image_gloss'] = eg, ig
-            metrics['loss_g_ac'] = gac
+            record_g(metrics, ls)
         else:  # 'fast': one snapshot, single generator/encoder update
-            params, opt_states, eg, ig, gac = update_generators(
+            params, opt_states, ls = update_generators(
                 params, aux, opt_states, z_in, images, labels)
-            metrics['edge_gloss'], metrics['image_gloss'] = eg, ig
-            metrics['loss_g_ac'] = gac
+            record_g(metrics, ls)
 
             def e_loss(e_params):
                 p = {**params, 'E': e_params}
@@ -235,6 +245,34 @@ def make_train_step(nets: Networks, config: Config):
             new_e, opt_states = update('e', grads, opt_states, params['E'])
             params = {**params, 'E': new_e}
             metrics['zl_loss'] = zl_loss
+
+        if config.reference_metrics:
+            # Reference logging protocol: every reported loss is
+            # re-evaluated AFTER all optimizer groups have applied
+            # (models/edgegan.py:464-486, five separate .eval() calls on
+            # the post-update graph), with the GP blend's alpha freshly
+            # resampled per eval. critic_loss/g_losses close over
+            # `params`, which now holds the post-step values.
+            ev = {n: jax.random.fold_in(rng, 16 + i) for i, n in enumerate(
+                ['gp_joint', 'gp_image', 'gp_edge'])}
+            edge_f, image_f = nets.generate(params, aux, z_in)
+            joint_f = jnp.concatenate([edge_f, image_f], axis=2)
+            metrics['joint_dis_dloss'] = critic_loss(
+                params['D'], 'D', joint_f, images, ev['gp_joint'])
+            if config.use_image_discriminator:
+                metrics['image_dis_dloss'] = critic_loss(
+                    params['D_patch2'], 'D_patch2',
+                    resize(image_f, (config.image_dis_size,) * 2),
+                    resized_image_real, ev['gp_image'])
+            if config.use_edge_discriminator:
+                metrics['edge_dis_dloss'] = critic_loss(
+                    params['D_patch3'], 'D_patch3',
+                    resize(edge_f, (config.edge_dis_size,) * 2),
+                    resized_edge_real, ev['gp_edge'])
+            _, ls = g_losses(
+                (params['G1'], params['G2']), params, aux, z_in, images,
+                labels)
+            record_g(metrics, ls)
 
         new_state = state.replace(step=state.step + 1, params=params,
                                   aux=aux, opt_states=opt_states)

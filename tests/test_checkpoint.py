@@ -37,6 +37,32 @@ def test_latest_step_picked(tmp_path):
     assert ckpt.latest_step(d) == 1002
 
 
+def test_retention_keeps_last_n(tmp_path):
+    """save(keep=N) GCs old checkpoints like tf.train.Saver
+    max_to_keep=5 (reference models/edgegan.py:421)."""
+    state = make_state()
+    d = str(tmp_path / 'checkpoints')
+    for step in [2, 502, 1002]:
+        ckpt.save(d, step, state, keep=2)
+    assert ckpt.latest_step(d) == 1002
+    loaded, counter, _ = ckpt.load(d, state)
+    assert loaded and counter == 1002
+    import os
+    names = sorted(n for n in os.listdir(d)
+                   if n.startswith(ckpt.MODEL_NAME))
+    assert names == ['EdgeGAN-Model-1002', 'EdgeGAN-Model-502']
+
+
+def test_retention_disabled_keeps_all(tmp_path):
+    state = make_state()
+    d = str(tmp_path / 'checkpoints')
+    for step in [2, 502, 1002]:
+        ckpt.save(d, step, state, keep=0)
+    import os
+    assert len([n for n in os.listdir(d)
+                if n.startswith(ckpt.MODEL_NAME)]) == 3
+
+
 def test_missing_returns_false(tmp_path):
     state = make_state()
     loaded, counter, restored = ckpt.load(str(tmp_path / 'nope'), state)

@@ -36,6 +36,40 @@ def test_writer_produces_event_files(tmp_path):
     assert events and os.path.getsize(events[0]) > 1000
 
 
+def test_written_tag_set_is_reference_superset(tmp_path):
+    """The written TB tag set must cover everything the reference's
+    d_sum/g_sum contain (models/edgegan.py:344-411)."""
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+    cfg = tiny_cfg()
+    nets = Networks(cfg)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    tb = SummaryWriter(str(tmp_path), nets, cfg)
+    tb.scalars(1, {k: 0.5 for k in SCALARS})
+    images = np.random.RandomState(0).randn(4, 32, 64, 3).astype(
+        np.float32).clip(-1, 1)
+    z = np.random.RandomState(1).randn(4, 9).astype(np.float32)
+    z[:, -1] = 0
+    tb.extras(1, state, images, z)
+    tb.close()
+
+    acc = EventAccumulator(str(tmp_path))
+    acc.Reload()
+    # flax writes TBv2 tensor events: every tag lands under 'tensors'
+    got = set(acc.Tags()['tensors'])
+    ref_scalars = {'joint_dis_dloss', 'joint_dis_gloss', 'image_dis_dloss',
+                   'image_dis_gloss', 'edge_dis_dloss', 'edge_dis_gloss',
+                   'edge_gloss', 'image_gloss', 'zl_loss', 'loss_g_ac',
+                   'loss_d_ac'}
+    ref_hists = {'z', 'd', 'd_', 'imageD', 'imageDfake', 'edgeD',
+                 'edgeDfake'}
+    ref_images = {'inputs', 'G1', 'G2', 'resized_inputs_image',
+                  'resized_G_image', 'resized_inputs_p3_image',
+                  'resized_G_p3_image'}
+    assert (ref_scalars | ref_hists | ref_images) <= got, sorted(got)
+
+
 def test_grid_range():
     batch = np.random.RandomState(0).uniform(-1, 1, (4, 8, 8, 3))
     g = _grid(batch)

@@ -45,7 +45,9 @@ def multiclass_run():
 
 def test_all_losses_finite(multiclass_run):
     _, _, _, metrics = multiclass_run
-    expected = {'joint_dis_dloss', 'image_dis_dloss', 'edge_dis_dloss',
+    expected = {'joint_dis_dloss', 'joint_dis_gloss',
+                'image_dis_dloss', 'image_dis_gloss',
+                'edge_dis_dloss', 'edge_dis_gloss',
                 'loss_d_ac', 'edge_gloss', 'image_gloss', 'loss_g_ac',
                 'zl_loss'}
     assert expected == set(metrics)
@@ -109,6 +111,33 @@ def test_fast_mode_runs():
         before = jax.tree.leaves(state.params[name])
         after = jax.tree.leaves(new_state.params[name])
         assert any(not np.allclose(a, b) for a, b in zip(before, after)), name
+
+
+def test_reference_metrics_protocol():
+    """--reference_metrics re-evaluates reported losses AFTER all
+    optimizer groups (reference models/edgegan.py:464-486), so they must
+    differ from the inline per-group values while staying finite."""
+    cfg_in = tiny_cfg()
+    cfg_ref = tiny_cfg(reference_metrics=True)
+    images, z = make_batch(cfg_in)
+    out = {}
+    for key, cfg in [('inline', cfg_in), ('ref', cfg_ref)]:
+        nets = Networks(cfg)
+        state = create_train_state(nets, jax.random.PRNGKey(0),
+                                   cfg.learning_rate)
+        step = jax.jit(make_train_step(nets, cfg))
+        new_state, metrics = step(state, images, z, jax.random.PRNGKey(3))
+        out[key] = (new_state, {k: float(v) for k, v in metrics.items()})
+    assert set(out['inline'][1]) == set(out['ref'][1])
+    for k, v in out['ref'][1].items():
+        assert np.isfinite(v), (k, v)
+    # identical parameter trajectory (logging-only difference) ...
+    for a, b in zip(jax.tree.leaves(out['inline'][0].params),
+                    jax.tree.leaves(out['ref'][0].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ... but post-apply loss evaluations differ from inline ones
+    assert any(abs(out['inline'][1][k] - out['ref'][1][k]) > 1e-9
+               for k in ('joint_dis_dloss', 'edge_gloss', 'image_gloss'))
 
 
 def test_rmsprop_matches_tf_semantics():
