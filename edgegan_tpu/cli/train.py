@@ -17,7 +17,7 @@ import numpy as np
 
 from ..core.config import Config, add_config_args, config_from_args
 from ..data import Dataset, PrefetchLoader
-from ..parallel import (batch_sharding, create_mesh,
+from ..parallel import (batch_sharding, create_mesh, is_process_zero,
                         maybe_distributed_init, replicated)
 from ..train import Networks, create_train_state, make_train_step
 from .. import checkpoint as ckpt
@@ -32,7 +32,11 @@ def main(argv=None):
     maybe_distributed_init()
     from ..core.config import enable_compilation_cache
     enable_compilation_cache()
-    config.save()
+    # Host-side writes (flags.json, metrics, TB, stdout) belong to
+    # process 0 only; checkpoint saves stay collective (Orbax).
+    p0 = is_process_zero()
+    if p0:
+        config.save()
     makedirs(config.checkpoint_dir)
     makedirs(config.logdir)
 
@@ -45,10 +49,17 @@ def main(argv=None):
         'grayscale': False,
         'z_dim': config.z_dim,
     }
+    nproc = jax.process_count()
     dataset = Dataset(config.dataroot, config.dataset, config.train_size,
                       config.batch_size, dataset_config,
                       config.num_classes, 'train',
-                      cache=config.cache_data)
+                      cache=config.cache_data,
+                      # multi-process: shared-seeded shuffle rng so all
+                      # hosts agree on the file order; each decodes only
+                      # its batch shard
+                      rng=(np.random.RandomState(config.seed)
+                           if nproc > 1 else None),
+                      shard=(jax.process_index(), nproc))
 
     mesh = create_mesh() if config.data_parallel else None
     data_sharding = batch_sharding(mesh) if mesh else None
@@ -56,7 +67,8 @@ def main(argv=None):
     nets = Networks(config)
     rng = jax.random.PRNGKey(config.seed)
     state = create_train_state(nets, rng, config.learning_rate)
-    show_all_variables(state.params)
+    if p0:
+        show_all_variables(state.params)
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
 
@@ -67,68 +79,81 @@ def main(argv=None):
         if mesh is not None:
             state = jax.device_put(state, replicated(mesh))
         counter = ckpt_counter
-        print(' [*] Load SUCCESS')
-    else:
+        if p0:
+            print(' [*] Load SUCCESS')
+    elif p0:
         print(' [!] Load failed...')
 
     train_step = jax.jit(make_train_step(nets, config),
                          donate_argnums=(0,))
-    metrics_log = open(os.path.join(config.logdir, 'metrics.jsonl'), 'a')
+    metrics_log = (open(os.path.join(config.logdir, 'metrics.jsonl'), 'a')
+                   if p0 else None)
     from ..summaries import SummaryWriter
-    tb = SummaryWriter(config.logdir, nets, config)
+    tb = SummaryWriter(config.logdir, nets, config) if p0 else None
 
     profiling = False
     start_time = time.time()
+    # One loader (and thread pool) for the whole run; each epoch's
+    # iteration submits fresh decode futures against the reshuffled
+    # dataset. (A per-epoch pool with shutdown(wait=False) leaks worker
+    # threads briefly every epoch.)
+    loader = PrefetchLoader(dataset, prefetch=config.prefetch,
+                            sharding=data_sharding)
     for epoch in range(config.epoch):
         dataset.shuffle()
-        loader = PrefetchLoader(dataset, prefetch=config.prefetch,
-                                sharding=data_sharding)
         for idx, (batch_images, batch_z, _files) in enumerate(loader):
-            if config.profile_steps and counter == 2 and not profiling:
+            if (p0 and config.profile_steps and counter == 2
+                    and not profiling):
                 jax.profiler.start_trace(
                     os.path.join(config.logdir, 'profile'))
                 profiling = True
             step_rng = jax.random.fold_in(rng, counter)
             state, device_metrics = train_step(state, batch_images,
                                                batch_z, step_rng)
-            # One bulk device->host transfer, AFTER the next dispatch is
-            # already enqueued by jax's async dispatch — the transfer
-            # latency hides behind device execution. (8 separate float()
-            # pulls would cost 8 round trips through the TPU tunnel.)
-            metrics = {k: float(v) for k, v in
-                       jax.device_get(device_metrics).items()}
             counter += 1
-            d_err = (metrics.get('joint_dis_dloss', 0.0)
-                     + metrics.get('image_dis_dloss', 0.0)
-                     + metrics.get('edge_dis_dloss', 0.0))
-            g_err = (metrics.get('edge_gloss', 0.0)
-                     + metrics.get('image_gloss', 0.0))
-            # reference stdout format incl. the 2x d-loss quirk Q11
-            # (models/edgegan.py:484-486)
-            print('Epoch: [%2d/%2d] [%4d/%4d] time: %4.4f, '
-                  'joint_dis_dloss: %.8f, joint_dis_gloss: %.8f'
-                  % (epoch, config.epoch, idx, len(dataset),
-                     time.time() - start_time, 2 * d_err, g_err))
-            metrics_log.write(json.dumps(
-                {'step': counter, 'epoch': epoch, **metrics}) + '\n')
-            metrics_log.flush()
-            tb.scalars(counter, metrics)
-            if counter % config.summary_frequency == 0:
-                tb.extras(counter, state, batch_images, batch_z)
+            if p0:
+                # One bulk device->host transfer, AFTER the next
+                # dispatch is already enqueued by jax's async dispatch —
+                # the transfer latency hides behind device execution.
+                # (8 separate float() pulls would cost 8 round trips
+                # through the TPU tunnel.)
+                metrics = {k: float(v) for k, v in
+                           jax.device_get(device_metrics).items()}
+                d_err = (metrics.get('joint_dis_dloss', 0.0)
+                         + metrics.get('image_dis_dloss', 0.0)
+                         + metrics.get('edge_dis_dloss', 0.0))
+                g_err = (metrics.get('edge_gloss', 0.0)
+                         + metrics.get('image_gloss', 0.0))
+                # reference stdout format incl. the 2x d-loss quirk Q11
+                # (models/edgegan.py:484-486)
+                print('Epoch: [%2d/%2d] [%4d/%4d] time: %4.4f, '
+                      'joint_dis_dloss: %.8f, joint_dis_gloss: %.8f'
+                      % (epoch, config.epoch, idx, len(dataset),
+                         time.time() - start_time, 2 * d_err, g_err))
+                metrics_log.write(json.dumps(
+                    {'step': counter, 'epoch': epoch, **metrics}) + '\n')
+                metrics_log.flush()
+                tb.scalars(counter, metrics)
+                if counter % config.summary_frequency == 0:
+                    tb.extras(counter, state, batch_images, batch_z)
             if profiling and counter >= 2 + config.profile_steps:
                 jax.block_until_ready(state.step)
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f' [*] Profile written to {config.logdir}/profile')
-            # save cadence quirk Q9 (models/edgegan.py:487-489)
+            # save cadence quirk Q9 (models/edgegan.py:487-489);
+            # collective — every process participates in the Orbax save
             if counter % config.save_checkpoint_frequency == 2:
-                print(' [*] Saving checkpoints...')
-                ckpt.save(config.checkpoint_dir, counter, state)
-        loader.close()
+                if p0:
+                    print(' [*] Saving checkpoints...')
+                ckpt.save(config.checkpoint_dir, counter, state,
+                          keep=config.keep_checkpoint_max)
+    loader.close()
     if profiling:
         jax.profiler.stop_trace()
-    metrics_log.close()
-    tb.close()
+    if p0:
+        metrics_log.close()
+        tb.close()
 
 
 if __name__ == '__main__':

@@ -30,20 +30,30 @@ class Dataset:
     def __init__(self, dataroot, name, size, batchsize, config,
                  num_classes: Optional[int] = None, phase: str = 'train',
                  rng: Optional[np.random.RandomState] = None,
-                 cache: bool = False):
+                 cache: bool = False, shard=(0, 1)):
         """`cache=True` keeps every decoded+transformed image in RAM as
         float32 after first touch. The reference re-decodes and resizes
         every PNG on every epoch (dataset.py:58-67); at TPU step times
         (~2 ms) that host work dominates, and the whole SketchyCOCO
         train set is only ~350 MB decoded."""
         assert phase in ('train', 'test')
-        self.batchsize = batchsize
+        self.batchsize = batchsize  # GLOBAL batch (step count parity)
         self.num_classes = num_classes
         self.config = config
         self.phase = phase
         self.rng = rng or np.random
         self.cache = cache
         self._cache: dict = {}
+        # Multi-host DP: shard=(process_index, process_count). Each
+        # process decodes only its batchsize/process_count rows of every
+        # global batch; callers must pass a shared-seeded `rng` so all
+        # processes shuffle the file list identically. z noise is drawn
+        # from a per-process stream so shards get independent latents.
+        self.process_index, self.process_count = shard
+        assert batchsize % self.process_count == 0, (batchsize, shard)
+        self.local_batchsize = batchsize // self.process_count
+        self._z_rng = (self.rng if self.process_count == 1 else
+                       np.random.RandomState(977 + self.process_index))
         if phase == 'train':
             if num_classes is not None:
                 self.data = []
@@ -114,17 +124,21 @@ class Dataset:
 
     def __getitem__(self, idx):
         filenames = self.data[idx * self.batchsize:(idx + 1) * self.batchsize]
+        # this process's rows of the global batch
+        lo = self.process_index * self.local_batchsize
+        filenames = filenames[lo:lo + self.local_batchsize]
         batch_images = self._load_batch(filenames)
 
         if self.phase == 'train':
-            batch_z = self.rng.normal(
-                size=(self.batchsize, self.config['z_dim'])).astype(
+            batch_z = self._z_rng.normal(
+                size=(self.local_batchsize, self.config['z_dim'])).astype(
                     np.float32)
             if self.num_classes is not None:
                 def get_class(path):
                     return int(os.path.basename(os.path.dirname(path)))
                 classes = np.array([get_class(f) for f in filenames],
-                                   np.float32).reshape(self.batchsize, 1)
+                                   np.float32).reshape(
+                                       self.local_batchsize, 1)
                 batch_z = np.concatenate([batch_z, classes], axis=1)
             return batch_images, batch_z, filenames
         return batch_images, filenames

@@ -25,10 +25,14 @@ class PrefetchLoader:
     def _put(self, item):
         if self.sharding is None:
             return item
+        from ..parallel import put_global
         out = []
         for x in item:
             if hasattr(x, 'shape'):
-                out.append(jax.device_put(x, self.sharding))
+                # single-process: device_put; multi-process: this
+                # process's shard is stitched into a global array via
+                # jax.make_array_from_process_local_data
+                out.append(put_global(self.sharding, x)[0])
             else:
                 out.append(x)
         return tuple(out)

@@ -39,17 +39,52 @@ def maybe_distributed_init():
     """Multi-host init: call jax.distributed.initialize() when a
     coordinator is configured (TPU pod / multi-process launch); no-op
     for single-process runs. Collectives then ride ICI within a slice
-    and DCN across slices — all through the same Mesh."""
+    and DCN across slices — all through the same Mesh.
+
+    On TPU pods the launcher environment is auto-detected; for explicit
+    launches (and the 2-process CPU test) set JAX_COORDINATOR_ADDRESS
+    plus JAX_NUM_PROCESSES/JAX_PROCESS_ID."""
     import os
-    if (os.environ.get('JAX_COORDINATOR_ADDRESS')
-            or os.environ.get('COORDINATOR_ADDRESS')):
-        try:
-            jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialised
+    addr = (os.environ.get('JAX_COORDINATOR_ADDRESS')
+            or os.environ.get('COORDINATOR_ADDRESS'))
+    if not addr:
+        return
+    kwargs = {}
+    if os.environ.get('JAX_NUM_PROCESSES'):
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(os.environ['JAX_NUM_PROCESSES']),
+            process_id=int(os.environ['JAX_PROCESS_ID']))
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialised
 
 
 def shard_batch(mesh: Mesh, *arrays):
     """Device-put host arrays with the batch axis sharded over the mesh."""
     sharding = batch_sharding(mesh)
     return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+def is_process_zero() -> bool:
+    """True on the process that should own host-side writes (stdout,
+    metrics.jsonl, TensorBoard). Checkpoint saves are NOT guarded by
+    this — Orbax saves are collective across processes."""
+    return jax.process_index() == 0
+
+
+def put_global(sharding: NamedSharding, *arrays):
+    """Assemble global device arrays from per-process host shards.
+
+    Single-process: a plain device_put of the full batch. Multi-process
+    (TPU pod / multi-host DP): each process passes only ITS slice of
+    the global batch (the rows destined for its addressable devices)
+    and `jax.make_array_from_process_local_data` stitches them into one
+    global jax.Array on the mesh — host->device stays local, gradient
+    psums ride ICI/DCN. No reference counterpart (SURVEY.md §2.4)."""
+    if jax.process_count() == 1:
+        return tuple(jax.device_put(a, sharding) for a in arrays)
+    return tuple(
+        jax.make_array_from_process_local_data(sharding, np.asarray(a))
+        for a in arrays)

@@ -1,7 +1,10 @@
 """Data-parallel tests on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from edgegan_tpu.core.config import Config
@@ -74,6 +77,66 @@ def test_sharded_matches_single_device(devices):
         np.testing.assert_allclose(float(metrics_single[k]),
                                    float(metrics_sharded[k]),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_put_global_single_process(devices):
+    """put_global == device_put in the 1-process case."""
+    from edgegan_tpu.parallel import put_global
+    mesh = create_mesh(devices)
+    sharding = batch_sharding(mesh)
+    x = np.arange(16, dtype=np.float32).reshape(8, 2)
+    (arr,) = put_global(sharding, x)
+    assert arr.sharding.spec == P('data')
+    np.testing.assert_array_equal(np.asarray(arr), x)
+
+
+@pytest.mark.slow
+def test_two_process_distributed(tmp_path):
+    """Real multi-host DP: 2 jax.distributed CPU processes x 4 virtual
+    devices run one train step on per-process batch shards; process 0's
+    metrics must match a single-process 8-device run on the same global
+    batch (SURVEY.md §2.4 — the component the reference never had)."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), '_mp_worker.py')
+    procs = []
+    for pid in range(2):
+        env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
+        env.update(JAX_COORDINATOR_ADDRESS=f'localhost:{port}',
+                   JAX_NUM_PROCESSES='2', JAX_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, worker], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    mp_line = [ln for ln in outs[0].splitlines()
+               if ln.startswith('MPMETRICS ')]
+    assert mp_line, outs[0][-3000:]
+    mp_metrics = json.loads(mp_line[0][len('MPMETRICS '):])
+
+    # single-process reference on the identical global batch
+    cfg = tiny_cfg()
+    nets = Networks(cfg)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    b = cfg.batch_size
+    images = np.random.RandomState(0).randn(
+        b, 32, 64, 3).astype(np.float32).clip(-1, 1)
+    z = np.random.RandomState(1).randn(b, 9).astype(np.float32)
+    z[:, -1] = np.random.RandomState(2).randint(0, 3, b)
+    step = jax.jit(make_train_step(nets, cfg))
+    _, ref = step(state, jnp.asarray(images), jnp.asarray(z),
+                  jax.random.PRNGKey(3))
+    for k, v in mp_metrics.items():
+        np.testing.assert_allclose(v, float(ref[k]), rtol=2e-4, atol=1e-5)
 
 
 def test_graft_dryrun_multichip():
