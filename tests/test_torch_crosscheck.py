@@ -50,6 +50,164 @@ def test_deconv2d_matches_torch_conv_transpose():
     np.testing.assert_allclose(ours, theirs, atol=1e-4)
 
 
+# ---------------------------------------------------------------------------
+# Full-network cross-checks: rebuild G/D/E forward passes in torch from
+# the SAME weights and match outputs. Catches architecture drift
+# (block order, padding placement, norm semantics, flatten order) that
+# per-op tests can't see. Reference architectures: generator.py:35-74,
+# discriminator.py:58-81, encoder.py:21-84.
+# ---------------------------------------------------------------------------
+import torch.nn.functional as F  # noqa: E402
+
+
+def _nchw(x_nhwc):
+    return torch.from_numpy(np.asarray(x_nhwc)).permute(0, 3, 1, 2)
+
+
+def _nhwc(x_nchw):
+    return x_nchw.permute(0, 2, 3, 1)
+
+
+def t_conv_same(x, w_hwio, stride, bias=None):
+    """tf.nn.conv2d SAME via explicit (possibly asymmetric) padding."""
+    w = torch.from_numpy(np.asarray(w_hwio)).permute(3, 2, 0, 1)
+    k = w.shape[-1]
+    pads = []
+    for in_size in (x.shape[3], x.shape[2]):  # F.pad order: W then H
+        out = -(-in_size // stride)
+        total = max((out - 1) * stride + k - in_size, 0)
+        pads += [total // 2, total - total // 2]
+    x = F.pad(x, pads)
+    return F.conv2d(x, w, bias=bias, stride=stride)
+
+
+def t_conv_reflect(x, w_hwio, bias=None):
+    """k x k stride-1 REFLECT conv (reference conv.py:23-26)."""
+    w = torch.from_numpy(np.asarray(w_hwio)).permute(3, 2, 0, 1)
+    p = (w.shape[-1] - 1) // 2
+    if p:
+        x = F.pad(x, (p, p, p, p), mode='reflect')
+    return F.conv2d(x, w, bias=bias, stride=1)
+
+
+def t_deconv(x, w_kkoi, out_hw, stride):
+    """tf.nn.conv2d_transpose SAME: full transposed conv, then crop by
+    the forward conv's pad_lo."""
+    w = torch.from_numpy(np.asarray(w_kkoi)).permute(3, 2, 0, 1)  # in,out,k,k
+    k = w.shape[-1]
+    full = F.conv_transpose2d(x, w, stride=stride)
+    crops = []
+    for o in out_hw:
+        i = -(-o // stride)
+        total = max((i - 1) * stride + k - o, 0)
+        crops.append(total // 2)
+    return full[:, :, crops[0]:crops[0] + out_hw[0],
+                crops[1]:crops[1] + out_hw[1]]
+
+
+def t_inorm(x, eps=1e-5):
+    """(x-mean)/(sqrt(var)+eps), biased var over H,W — eps OUTSIDE (Q1)."""
+    mean = x.mean(dim=(2, 3), keepdim=True)
+    var = x.var(dim=(2, 3), keepdim=True, unbiased=False)
+    return (x - mean) / (torch.sqrt(var) + eps)
+
+
+def t_bnorm(x, gamma, beta, eps=1e-5):
+    """train-mode batch norm over (N,H,W), biased var, eps inside."""
+    mean = x.mean(dim=(0, 2, 3), keepdim=True)
+    var = x.var(dim=(0, 2, 3), keepdim=True, unbiased=False)
+    g = torch.from_numpy(np.asarray(gamma)).view(1, -1, 1, 1)
+    b = torch.from_numpy(np.asarray(beta)).view(1, -1, 1, 1)
+    return (x - mean) / torch.sqrt(var + eps) * g + b
+
+
+def t_lrelu(x):
+    return torch.maximum(x, 0.2 * x)
+
+
+def test_full_generator_matches_torch():
+    import jax
+    from edgegan_tpu.models import Generator
+    gen = Generator(output_height=64, output_width=64)  # full-size branch
+    z = np.random.RandomState(0).randn(2, 114).astype(np.float32)
+    variables = gen.init(jax.random.PRNGKey(0), jnp.asarray(z))
+    ours = np.asarray(gen.apply(variables, jnp.asarray(z)))
+    p = jax.tree.map(np.asarray, variables['params'])
+
+    x = torch.from_numpy(z @ p['g_lin_0']['Matrix'] + p['g_lin_0']['bias'])
+    x = _nchw(x.reshape(2, 4, 4, 512).numpy())  # NHWC reshape, then NCHW
+    x = t_bnorm(x, p['g_norm_0_gamma'], p['g_norm_0_beta'])
+    x = torch.relu(x)
+    for i, hw in zip(range(1, 5), [(8, 8), (16, 16), (32, 32), (64, 64)]):
+        blk = p[f'g_dconv_{i}']['deconv2d']
+        x = t_deconv(x, blk['w'], hw, 2)
+        x = x + torch.from_numpy(blk['b']).view(1, -1, 1, 1)
+        if i < 4:
+            x = torch.relu(t_inorm(x))
+    theirs = _nhwc(torch.tanh(x)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+def test_full_discriminator_matches_torch():
+    import jax
+    from edgegan_tpu.models import Discriminator
+    dis = Discriminator()
+    img = np.random.RandomState(1).randn(2, 64, 128, 3).astype(
+        np.float32).clip(-1, 1)
+    variables = dis.init(jax.random.PRNGKey(1), jnp.asarray(img))
+    _, ours_logits = dis.apply(variables, jnp.asarray(img))
+    p = jax.tree.map(np.asarray, variables['params'])
+
+    x = _nchw(img)
+    for name, use_norm in [('d_conv_0', False), ('d_conv_1', True),
+                           ('d_conv_3', True), ('d_conv_4', True)]:
+        x = t_conv_same(x, p[name]['conv2d']['w'], 2)
+        if use_norm:
+            x = t_inorm(x)
+        x = t_lrelu(x)
+    flat = _nhwc(x).reshape(2, -1).numpy()  # NHWC flatten order
+    theirs = flat @ p['d_linear_5']['Matrix'] + p['d_linear_5']['bias']
+    np.testing.assert_allclose(np.asarray(ours_logits), theirs, atol=2e-4)
+
+
+def test_full_encoder_matches_torch():
+    import jax
+    from edgegan_tpu.models import Encoder
+    enc = Encoder(latent_dim=100, image_size=64)
+    img = np.random.RandomState(2).randn(2, 64, 64, 3).astype(
+        np.float32).clip(-1, 1)
+    variables = enc.init({'params': jax.random.PRNGKey(2),
+                          'noise': jax.random.PRNGKey(3)}, jnp.asarray(img))
+    _, ours_mu, ours_ls = enc.apply(variables, jnp.asarray(img),
+                                    rngs={'noise': jax.random.PRNGKey(4)})
+    p = jax.tree.map(np.asarray, variables['params'])
+
+    stem = p['e_resnet_64_0']['conv2d']
+    x = t_conv_same(_nchw(img), stem['w'], 2,
+                    bias=torch.from_numpy(stem['b']))
+    x = torch.relu(x)
+    for i, n in enumerate([128, 256, 512, 512]):
+        blk = p[f'e_resnet_{n}_{i + 1}']
+        h = t_conv_reflect(x, blk['res1']['w'],
+                           bias=torch.from_numpy(blk['res1']['b']))
+        h = torch.relu(t_inorm(h))
+        h = t_conv_reflect(h, blk['res2']['w'],
+                           bias=torch.from_numpy(blk['res2']['b']))
+        h = t_inorm(h)
+        sc = t_conv_reflect(x, blk['shortcut']['w'],
+                            bias=torch.from_numpy(blk['shortcut']['b']))
+        x = torch.relu(sc + h)
+        x = F.avg_pool2d(x, 2, 2)  # even sizes: TF-SAME == plain 2x2
+    x = torch.relu(x)
+    x = x.mean(dim=(2, 3), keepdim=True)  # 8x8 SAME pool on 2x2, counts
+    #                                       exclude padding -> plain mean
+    flat = _nhwc(x).reshape(2, -1).numpy()
+    mu = flat @ p['FC8_mu']['w'] + p['FC8_mu']['b']
+    ls = flat @ p['FC8_sigma']['w'] + p['FC8_sigma']['b']
+    np.testing.assert_allclose(np.asarray(ours_mu), mu, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ours_ls), ls, atol=2e-4)
+
+
 def test_deconv2d_stride1_1x1_matches_torch():
     # the deresidual2 shortcut case: k=1, s=1 SAME
     rng = np.random.RandomState(2)
