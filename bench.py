@@ -29,10 +29,17 @@ def _force_completion(tree) -> float:
     return float(np.asarray(jax.tree.leaves(tree)[0]).ravel()[0])
 
 
-def bench_inference():
+def bench_inference(dispatch_bound: bool = False):
     """images/sec/chip at 64x64 (encoder -> G1/G2 full test path),
     batch 64 (the reference hard-codes batch 1; the path is
-    batch-agnostic here)."""
+    batch-agnostic here).
+
+    Default measures DEVICE CAPABILITY: n batches inside one jitted
+    lax.scan = one dispatch, so the ~25 ms per-dispatch latency of this
+    remote-TPU tunnel is paid once instead of n times. A production
+    server gets the same effect by keeping >=2 requests in flight.
+    `dispatch_bound=True` keeps the one-dispatch-per-batch loop for the
+    tunnel-latency-bound number (recorded in BASELINE.md)."""
     import jax
     import jax.numpy as jnp
     from edgegan_tpu.core.config import Config, enable_compilation_cache
@@ -52,22 +59,44 @@ def bench_inference():
     ).astype(np.float32).clip(-1, 1))
     classes = jnp.zeros((b,), jnp.int32)
     rng = jax.random.PRNGKey(1)
-    out = forward(state.params, state.aux, inputs, classes, rng)
-    _force_completion(out)
     n = 50
-    t0 = time.perf_counter()
-    acc = None
-    for i in range(n):
-        out = forward(state.params, state.aux, inputs, classes,
-                      jax.random.fold_in(rng, i))
-        # chain batches so the loop can't be reordered away
-        e, im = out
-        acc = e if acc is None else acc + e
-    _force_completion(acc)
-    dt = time.perf_counter() - t0
+
+    if dispatch_bound:
+        out = forward(state.params, state.aux, inputs, classes, rng)
+        _force_completion(out)
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(n):
+            e, im = forward(state.params, state.aux, inputs, classes,
+                            jax.random.fold_in(rng, i))
+            acc = e if acc is None else acc + e
+        _force_completion(acc)
+        dt = time.perf_counter() - t0
+        metric = 'generated_images_per_sec_per_chip_64x64_per_dispatch'
+    else:
+        @jax.jit
+        def run_many(params, aux, inputs, classes, rng):
+            def body(acc, i):
+                e, im = make_test_forward(nets, config, jit=False)(
+                    params, aux, inputs, classes,
+                    jax.random.fold_in(rng, i))
+                # data-dependent carry so no batch can be elided
+                return acc + jnp.mean(e) + jnp.mean(im), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
+            return acc
+
+        _force_completion(run_many(state.params, state.aux, inputs,
+                                   classes, rng))
+        t0 = time.perf_counter()
+        acc = run_many(state.params, state.aux, inputs, classes,
+                       jax.random.fold_in(rng, 7))
+        _force_completion(acc)
+        dt = time.perf_counter() - t0
+        metric = 'generated_images_per_sec_per_chip_64x64'
+
     images_per_sec = n * b / dt
     print(json.dumps({
-        'metric': 'generated_images_per_sec_per_chip_64x64',
+        'metric': metric,
         'value': round(images_per_sec, 1),
         'unit': 'images/s',
         'vs_baseline': None,
@@ -138,6 +167,8 @@ if __name__ == '__main__':
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == 'inference':
         bench_inference()
+    elif len(sys.argv) > 1 and sys.argv[1] == 'inference_dispatch':
+        bench_inference(dispatch_bound=True)
     elif len(sys.argv) > 1 and sys.argv[1] == 'bf16':
         main(dtype='bfloat16')
     elif len(sys.argv) > 1 and sys.argv[1] == 'fast':

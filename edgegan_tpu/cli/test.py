@@ -52,6 +52,17 @@ def classes_of(filenames, num_classes):
     return result, np.array(mask, dtype=bool)
 
 
+def classes_padded(filenames, num_classes):
+    """Like classes_of but returns one id per file (0 for masked rows),
+    keeping the batch shape static so the jitted forward never
+    recompiles; masked rows are computed and discarded."""
+    _, mask = classes_of(filenames, num_classes)
+    ids = []
+    for path, ok in zip(filenames, mask):
+        ids.append(int(pathsplit(path)[-2]) if ok else 0)
+    return np.array(ids, np.int32), mask
+
+
 def main(argv=None):
     np.random.seed(2333)  # reference test.py:14
     parser = argparse.ArgumentParser('edgegan_tpu.test')
@@ -71,8 +82,11 @@ def main(argv=None):
         'crop': config.crop,
         'grayscale': False,
     }
+    # batch 1 for reference parity (test.py:89); --test_batch_size N
+    # opts into batched throughput inference over the same path
+    batch = config.test_batch_size or 1
     dataset = Dataset(config.dataroot, config.dataset, config.train_size,
-                      1, dataset_config, None, 'test')
+                      batch, dataset_config, None, 'test')
 
     nets = Networks(config)
     # Restore raw (no target): like the reference test graph, only the
@@ -93,20 +107,24 @@ def main(argv=None):
     for idx in range(len(dataset)):
         batch_images, filenames = dataset[idx]
         if config.multiclasses:
-            class_ids, mask = classes_of(filenames, config.num_classes)
-            if len(class_ids) == 0:
+            # static batch shape: masked rows get a placeholder class,
+            # are computed, and dropped before saving — the jitted
+            # forward compiles once per batch size
+            batch_classes, mask = classes_padded(filenames,
+                                                 config.num_classes)
+            if not mask.any():
                 continue
-            batch_images = batch_images[mask]
-            filenames = [f for f, m in zip(filenames, mask) if m]
-            batch_classes = np.array(class_ids, np.int32)
         else:
             batch_classes = np.zeros((batch_images.shape[0],), np.int32)
+            mask = np.ones((batch_images.shape[0],), bool)
 
         edge_out, image_out = forward(
             params, aux, batch_images, batch_classes,
             jax.random.fold_in(rng, idx))
-        outputL = np.array(edge_out)
-        outputR = np.array(image_out)
+        batch_images = batch_images[mask]
+        filenames = [f for f, m in zip(filenames, mask) if m]
+        outputL = np.array(edge_out)[mask]
+        outputR = np.array(image_out)[mask]
         inputL = batch_images[:, :, :half_w, :]
 
         if config.output_combination == 'inputL_outputR':

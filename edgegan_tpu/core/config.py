@@ -91,6 +91,11 @@ class Config:
     keep_checkpoint_max: int = 5  # retained checkpoints (tf.train.Saver
     #                               max_to_keep default,
     #                               models/edgegan.py:421); 0 = keep all
+    test_batch_size: int = 0      # >0: opt-in inference throughput mode
+    #                               (reference parity forces batch 1,
+    #                               test.py:89; the fused forward is
+    #                               batch-agnostic). Trailing files that
+    #                               don't fill a batch are dropped (Q10).
 
     def derive(self, phase: str = 'train') -> 'Config':
         """Reference update_flags (train.py:85-98, test.py:85-97)."""

@@ -104,6 +104,41 @@ def inception_extractor(weights_path: Optional[str] = None,
     return extract
 
 
+def classifier_extractor(nets, params, aux):
+    """In-environment feature extractor: the trained AC-GAN classifier's
+    768-d penultimate features (spatial mean of the last MRU state, the
+    input to its class head — models/classifier.py).
+
+    Gives an FID-style score obtainable on THIS machine after a training
+    run, without torchvision/network access. Clearly labeled: numbers
+    are for RELATIVE tracking between checkpoints of the same run and
+    are NOT comparable to published InceptionV3 FID.
+
+    Usage:
+        ext = classifier_extractor(nets, state.params, state.aux)
+        fid_like = compute_fid(real_photos, fake_photos, ext)
+    """
+    import jax
+
+    if nets.classifier is None:
+        raise ValueError('classifier_extractor needs a multiclass model '
+                         '(the classifier is only built when '
+                         'multiclasses=True)')
+
+    @jax.jit
+    def features(images):
+        _, _, _, feat = nets.classifier.apply(
+            {'params': params['D2'], **aux['D2']}, images,
+            return_features=True)
+        return feat
+
+    def extract(images: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+        return np.asarray(features(jnp.asarray(images, jnp.float32)))
+
+    return extract
+
+
 def reconstruction_metrics(a: np.ndarray, b: np.ndarray) -> dict:
     """L1 / L2 / PSNR between two [-1,1] image batches."""
     a = np.asarray(a, np.float64)

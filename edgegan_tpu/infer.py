@@ -22,7 +22,9 @@ from .train.networks import Networks
 
 
 def make_test_forward(nets: Networks, config: Config,
-                      separate_z: bool = True):
+                      separate_z: bool = True, jit: bool = True):
+    """`jit=False` returns the raw traceable function (for embedding in
+    an outer jit/scan, e.g. the single-dispatch throughput bench)."""
     h = config.output_height
     half_w = int(config.output_width / 2)
 
@@ -46,4 +48,4 @@ def make_test_forward(nets: Networks, config: Config,
             {'params': params['G2'], **aux['G2']}, z2)
         return edge_output, image_output
 
-    return jax.jit(forward)
+    return jax.jit(forward) if jit else forward

@@ -26,7 +26,8 @@ class Classifier(nn.Module):
     sn: bool = True
 
     @nn.compact
-    def __call__(self, x, update_sn: bool = False):
+    def __call__(self, x, update_sn: bool = False, *,
+                 return_features: bool = False):
         # 6-level pyramid; x_list[-1] is the full-res input
         # (classifier.py:27-35, list reversed).
         x_list = [x]
@@ -53,4 +54,8 @@ class Classifier(nn.Module):
         feat = jnp.mean(ht, axis=(1, 2))
         logits = SNDense(self.num_classes, sn=self.sn,
                          name='class_head')(feat, update_sn)
+        if return_features:
+            # the 768-d penultimate features (input to the class head) —
+            # the in-environment FID extractor (evaluation.py)
+            return disc, 1.0 / (1.0 + jnp.exp(-logits)), logits, feat
         return disc, 1.0 / (1.0 + jnp.exp(-logits)), logits

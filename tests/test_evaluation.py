@@ -55,3 +55,45 @@ def test_reconstruction_metrics():
     m2 = reconstruction_metrics(a, b)
     assert abs(m2['l1'] - 0.5) < 1e-9
     assert abs(m2['psnr_db'] - 20 * np.log10(2.0 / 0.5)) < 1e-9
+
+
+def test_classifier_extractor_fid_smoke():
+    """In-env FID: trained-classifier 768-d features -> finite,
+    self-FID ~0, cross-FID > 0 (evaluation.classifier_extractor)."""
+    import jax
+    from edgegan_tpu.core.config import Config
+    from edgegan_tpu.evaluation import classifier_extractor, compute_fid
+    from edgegan_tpu.train import Networks, create_train_state
+
+    cfg = Config(batch_size=4, num_classes=3, z_dim=8,
+                 output_height=32, output_width=64,
+                 input_height=32, input_width=64,
+                 image_dis_size=32, edge_dis_size=32).derive('train')
+    nets = Networks(cfg)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    ext = classifier_extractor(nets, state.params, state.aux)
+
+    rng = np.random.RandomState(0)
+    real = rng.uniform(-1, 1, (16, 32, 32, 3)).astype(np.float32)
+    fake = (rng.uniform(-1, 1, (16, 32, 32, 3)) * 0.2).astype(np.float32)
+    feats = ext(real[:4])
+    assert feats.shape == (4, 768) and np.isfinite(feats).all()
+    assert compute_fid(real, real, ext, batch_size=8) < 1e-4
+    assert compute_fid(real, fake, ext, batch_size=8) > 0
+
+
+def test_classifier_extractor_rejects_singleclass():
+    import jax
+    from edgegan_tpu.core.config import Config
+    from edgegan_tpu.evaluation import classifier_extractor
+    from edgegan_tpu.train import Networks, create_train_state
+    cfg = Config(batch_size=4, multiclasses=False, z_dim=8,
+                 output_height=32, output_width=64,
+                 input_height=32, input_width=64,
+                 image_dis_size=32, edge_dis_size=32).derive('train')
+    nets = Networks(cfg)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    with pytest.raises(ValueError, match='multiclass'):
+        classifier_extractor(nets, state.params, state.aux)
