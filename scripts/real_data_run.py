@@ -15,6 +15,8 @@ import os
 import shutil
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 REF_TRAIN = '/root/reference/images/dataset_example/train'
 REPEATS = 40  # 5 real pairs x 40 = 200 files -> 3 steps/epoch at batch 64
 
