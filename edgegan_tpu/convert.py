@@ -110,6 +110,30 @@ def _cls_rules(scope: str = 'D2'):
     (classifier.py:107); inside each mru_conv_unit_t_<u>_layer_0 scope
     the default-named convs are img_new='Conv', h_new='Conv_1'/'Conv_2',
     shortcut='Conv_3' (creation order, conv.py:201-234).
+
+    AUDITED (round 2) line-by-line against the reference's scope
+    construction — every rule below derives from a cited site:
+      - conv2d2 opens `tf.variable_scope(scope, 'Conv', ...)`
+        (conv.py:267) with vars 'weights' [k,k,in,out] HWIO (:271) and
+        'biases' (1,C,1,1) (:282); TF uniquifies default names per
+        parent scope, so creation order pins Conv/Conv_1/Conv_2/Conv_3.
+      - unit scopes are 'mru_conv_unit_t_%d_layer_0' with unit_num
+        1..4 (conv.py:325, classifier.py:74-101); num_blocks=1
+        (classifier.py:15) so no initial_hidden_state vars exist.
+      - update_gate has an explicit scope (conv.py:198) with bias init
+        0.5 (conv.py:140); its activation is hardwired lrelu (no vars).
+      - prelu creates 'prelu/param' under the calling scope
+        (activation.py:23-27): inside conv2d2's 'Conv*' scope for
+        stem/h_conv1, inside 'norm_activation_in' /
+        'norm_activation_merge_1' for the block's norm_activ calls
+        (conv.py:184-187,210), and under 'mru_conv_unit_last_norm' for
+        the unit-4 last_unit prelu (conv.py:353-355).
+      - spectral 'u' lives next to its weight: scope = W.name dir,
+        shape [1, out] (normalization.py:42-44).
+      - fully_connected default scope 'fully_connected', weights
+        [in,out], biases [out] (linear.py:47-64).
+    Still pending: a value-level check against a real TF npz dump (no
+    TF in this environment; see npz_from_tf_hint).
     """
     rules = []
 

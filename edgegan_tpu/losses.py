@@ -10,26 +10,59 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
+def _f32_cast(x):
+    return x.astype(jnp.float32)
+
+
+def _f32_cast_fwd(x):
+    return x.astype(jnp.float32), None
+
+
+def _f32_cast_bwd(_, g):
+    return (g.astype(jnp.bfloat16),)
+
+
+_f32_cast.defvjp(_f32_cast_fwd, _f32_cast_bwd)
+
+
+def _to_f32(x):
+    """Mixed-precision loss boundary: loss reductions run in f32, but
+    the cotangent re-enters the network in the network's own dtype.
+
+    Without this, a plain `.astype(f32)` on a bf16 network output makes
+    the f32 cotangent PROMOTE every backward matmul/conv all the way
+    down to f32 (measured: ~34 ms/step of f32 big-tensor traffic at the
+    128 config). Values are unchanged — the bf16 cast would otherwise
+    happen at each layer's weight-cast boundary anyway.
+
+    custom_vjp is first-order: use ONLY in losses that are
+    differentiated once (NOT inside gradient_penalty's inner grad).
+    """
+    x = jnp.asarray(x)
+    if x.dtype == jnp.float32:
+        return x
+    return _f32_cast(x)
+
+
 def discriminator_ganloss(fake_out, real_out):
     """WGAN critic loss `mean(fake - real)` (functional.py:32-33).
     Reductions in f32 so bf16 compute keeps stable loss values."""
-    return jnp.mean(fake_out.astype(jnp.float32)
-                    - real_out.astype(jnp.float32))
+    return jnp.mean(_to_f32(fake_out) - _to_f32(real_out))
 
 
 def generator_ganloss(fake_out):
     """`mean(-fake)` (functional.py:36-37)."""
-    return jnp.mean(-fake_out.astype(jnp.float32))
+    return jnp.mean(-_to_f32(fake_out))
 
 
 def l1loss(output, target, weight):
     """`weight * mean(|output - target|)` (functional.py:40-41)."""
-    return weight * jnp.mean(jnp.abs(output.astype(jnp.float32)
-                                     - target.astype(jnp.float32)))
+    return weight * jnp.mean(jnp.abs(_to_f32(output) - _to_f32(target)))
 
 
 def _sparse_ce(logits, labels):
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(_to_f32(logits), axis=-1)
     return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
 
 
@@ -41,7 +74,7 @@ def get_acgan_loss_focal(real_logits, real_label, fake_logits, condition,
     loss_ac_g = ld2 * mean(CE(fake_logits, condition))
     Returns (loss_ac_g, loss_ac_d) in the reference's order.
     """
-    p = jax.nn.softmax(real_logits.astype(jnp.float32), axis=-1)
+    p = jax.nn.softmax(_to_f32(real_logits), axis=-1)
     onehot = jax.nn.one_hot(real_label, num_classes, dtype=p.dtype)
     pt = jnp.sum(p * onehot, axis=-1)
     loss_ac_d = ld1 * jnp.mean(

@@ -34,15 +34,29 @@ def instance_norm(x, eps: float = 1e-5):
     inf*0 = NaN and poisons training. The where-guard returns the same
     forward value (0/eps = 0) and a zero gradient instead; numerics in
     every non-degenerate case are bit-identical.
+
+    f32 inputs take the exact reference path. bf16 inputs keep the
+    STATISTICS in f32 (accumulated reductions; tiny tensors) but do the
+    per-element normalize in bf16 — otherwise the f32 elementwise chain
+    drags the whole backward (and the WGAN-GP double backward through
+    the critics) into f32, doubling HBM traffic on the largest
+    activations. Plain ops only, so any-order autodiff works.
     """
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    if x.dtype == jnp.float32:
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
+        nondegenerate = var > 0
+        safe_var = jnp.where(nondegenerate, var, 1.0)
+        denom = jnp.where(nondegenerate, jnp.sqrt(safe_var) + eps, eps)
+        return (x - mean) / denom
+    mean32 = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    diff = x - mean32.astype(x.dtype)
+    var = jnp.mean(jnp.square(diff), axis=(1, 2), keepdims=True,
+                   dtype=jnp.float32)
     nondegenerate = var > 0
     safe_var = jnp.where(nondegenerate, var, 1.0)
     denom = jnp.where(nondegenerate, jnp.sqrt(safe_var) + eps, eps)
-    out = (x32 - mean) / denom
-    return out.astype(x.dtype)
+    return diff * (1.0 / denom).astype(x.dtype)
 
 
 def batch_norm(x, gamma, beta, eps: float = 1e-5):
