@@ -61,7 +61,12 @@ import torch.nn.functional as F  # noqa: E402
 
 
 def _nchw(x_nhwc):
-    return torch.from_numpy(np.asarray(x_nhwc)).permute(0, 3, 1, 2)
+    return torch.from_numpy(np.array(x_nhwc)).permute(0, 3, 1, 2)
+
+
+def _t(x):
+    """numpy -> torch with a defensive copy (jax buffers are read-only)."""
+    return torch.from_numpy(np.array(x, np.float32))
 
 
 def _nhwc(x_nchw):
@@ -70,7 +75,7 @@ def _nhwc(x_nchw):
 
 def t_conv_same(x, w_hwio, stride, bias=None):
     """tf.nn.conv2d SAME via explicit (possibly asymmetric) padding."""
-    w = torch.from_numpy(np.asarray(w_hwio)).permute(3, 2, 0, 1)
+    w = _t(w_hwio).permute(3, 2, 0, 1)
     k = w.shape[-1]
     pads = []
     for in_size in (x.shape[3], x.shape[2]):  # F.pad order: W then H
@@ -83,7 +88,7 @@ def t_conv_same(x, w_hwio, stride, bias=None):
 
 def t_conv_reflect(x, w_hwio, bias=None):
     """k x k stride-1 REFLECT conv (reference conv.py:23-26)."""
-    w = torch.from_numpy(np.asarray(w_hwio)).permute(3, 2, 0, 1)
+    w = _t(w_hwio).permute(3, 2, 0, 1)
     p = (w.shape[-1] - 1) // 2
     if p:
         x = F.pad(x, (p, p, p, p), mode='reflect')
@@ -93,7 +98,7 @@ def t_conv_reflect(x, w_hwio, bias=None):
 def t_deconv(x, w_kkoi, out_hw, stride):
     """tf.nn.conv2d_transpose SAME: full transposed conv, then crop by
     the forward conv's pad_lo."""
-    w = torch.from_numpy(np.asarray(w_kkoi)).permute(3, 2, 0, 1)  # in,out,k,k
+    w = _t(w_kkoi).permute(3, 2, 0, 1)  # in,out,k,k
     k = w.shape[-1]
     full = F.conv_transpose2d(x, w, stride=stride)
     crops = []
@@ -116,8 +121,8 @@ def t_bnorm(x, gamma, beta, eps=1e-5):
     """train-mode batch norm over (N,H,W), biased var, eps inside."""
     mean = x.mean(dim=(0, 2, 3), keepdim=True)
     var = x.var(dim=(0, 2, 3), keepdim=True, unbiased=False)
-    g = torch.from_numpy(np.asarray(gamma)).view(1, -1, 1, 1)
-    b = torch.from_numpy(np.asarray(beta)).view(1, -1, 1, 1)
+    g = _t(gamma).view(1, -1, 1, 1)
+    b = _t(beta).view(1, -1, 1, 1)
     return (x - mean) / torch.sqrt(var + eps) * g + b
 
 
@@ -141,7 +146,7 @@ def test_full_generator_matches_torch():
     for i, hw in zip(range(1, 5), [(8, 8), (16, 16), (32, 32), (64, 64)]):
         blk = p[f'g_dconv_{i}']['deconv2d']
         x = t_deconv(x, blk['w'], hw, 2)
-        x = x + torch.from_numpy(blk['b']).view(1, -1, 1, 1)
+        x = x + _t(blk['b']).view(1, -1, 1, 1)
         if i < 4:
             x = torch.relu(t_inorm(x))
     theirs = _nhwc(torch.tanh(x)).numpy()
@@ -184,18 +189,18 @@ def test_full_encoder_matches_torch():
 
     stem = p['e_resnet_64_0']['conv2d']
     x = t_conv_same(_nchw(img), stem['w'], 2,
-                    bias=torch.from_numpy(stem['b']))
+                    bias=_t(stem['b']))
     x = torch.relu(x)
     for i, n in enumerate([128, 256, 512, 512]):
         blk = p[f'e_resnet_{n}_{i + 1}']
         h = t_conv_reflect(x, blk['res1']['w'],
-                           bias=torch.from_numpy(blk['res1']['b']))
+                           bias=_t(blk['res1']['b']))
         h = torch.relu(t_inorm(h))
         h = t_conv_reflect(h, blk['res2']['w'],
-                           bias=torch.from_numpy(blk['res2']['b']))
+                           bias=_t(blk['res2']['b']))
         h = t_inorm(h)
         sc = t_conv_reflect(x, blk['shortcut']['w'],
-                            bias=torch.from_numpy(blk['shortcut']['b']))
+                            bias=_t(blk['shortcut']['b']))
         x = torch.relu(sc + h)
         x = F.avg_pool2d(x, 2, 2)  # even sizes: TF-SAME == plain 2x2
     x = torch.relu(x)
@@ -206,6 +211,86 @@ def test_full_encoder_matches_torch():
     ls = flat @ p['FC8_sigma']['w'] + p['FC8_sigma']['b']
     np.testing.assert_allclose(np.asarray(ours_mu), mu, atol=2e-4)
     np.testing.assert_allclose(np.asarray(ours_ls), ls, atol=2e-4)
+
+
+def _sn_weight(w_hwio, u):
+    """spectral_normed_weight in numpy (reference normalization.py:38-70):
+    one power iteration from the stored u, W reshaped to [-1, out]."""
+    w = np.asarray(w_hwio, np.float32)
+    u = np.asarray(u, np.float32)
+    w_mat = w.reshape(-1, w.shape[-1])
+
+    def l2n(v):
+        return v / (np.sum(v * v) ** 0.5 + 1e-12)
+
+    v = l2n(u @ w_mat.T)
+    u2 = l2n(v @ w_mat)
+    sigma = (v @ w_mat @ u2.T)[0, 0]
+    return w / sigma
+
+
+def t_prelu(x, leak):
+    leak = float(np.asarray(leak))
+    return torch.maximum(leak * x, x)
+
+
+def test_full_classifier_matches_torch():
+    """MRU classifier forward rebuilt in torch — in the reference's NCHW
+    layout — from the same weights (reference classifier.py:12-115,
+    conv.py:133-243). Also proves the NHWC re-layout is math-identical
+    to the reference's NCHW."""
+    import jax
+    from edgegan_tpu.models import Classifier
+    cls = Classifier(num_classes=14)
+    img = np.random.RandomState(3).randn(2, 64, 64, 3).astype(
+        np.float32).clip(-1, 1)
+    variables = cls.init(jax.random.PRNGKey(3), jnp.asarray(img))
+    _, ours_sig, ours_logits = cls.apply(variables, jnp.asarray(img))
+    p = jax.tree.map(np.asarray, variables['params'])
+    us = jax.tree.map(np.asarray, variables['spectral'])
+
+    def snconv(x, params, u, stride=1, bias=True):
+        w = _sn_weight(params['weights'], u['u'])
+        b = _t(params['biases']) if bias else None
+        return t_conv_same(x, w, stride, bias=b)
+
+    # 6-level mean-pool pyramid (x_list[-1] = full res)
+    x = _nchw(img)
+    x_list = [x]
+    for _ in range(5):
+        x_list.append(F.avg_pool2d(x_list[-1], 2, 2))
+    x_list = x_list[::-1]
+
+    ht = snconv(x_list[-1], p['h0'], us['h0'])
+    ht = t_prelu(ht, p['h0']['prelu']['param'])
+    for unit, depth in enumerate([128, 256, 512, 768], start=1):
+        bp = p[f'mru_conv_unit_{unit}']
+        bu = us[f'mru_conv_unit_{unit}']
+        inp = x_list[-unit]
+        full_inp = torch.cat(
+            [t_prelu(ht, bp['norm_activation_in_prelu']['param']), inp],
+            dim=1)
+        rg = snconv(full_inp, bp['update_gate'], bu['update_gate'])
+        rg = t_lrelu(rg)
+        rg_min = rg.amin(dim=(2, 3), keepdim=True)
+        rg_max = rg.amax(dim=(2, 3), keepdim=True)
+        rg = (rg - rg_min) / (rg_max - rg_min)
+        img_new = snconv(inp, bp['img_conv'], bu['img_conv'])
+        ht_plus = ht + rg * img_new
+        h = t_prelu(ht_plus, bp['norm_activation_merge_1_prelu']['param'])
+        h = snconv(h, bp['h_conv1'], bu['h_conv1'])
+        h = t_prelu(h, bp['h_conv1']['prelu']['param'])
+        h = snconv(h, bp['h_conv2'], bu['h_conv2'])
+        sc = snconv(ht, bp['shortcut'], bu['shortcut'])
+        ht = F.avg_pool2d(sc + h, 2, 2)  # stride 2 = trailing mean-pool
+    ht = t_prelu(ht, p['mru_conv_unit_last_prelu']['param'])
+
+    feat = ht.mean(dim=(2, 3)).numpy()
+    w_fc = _sn_weight(p['class_head']['weights'], us['class_head']['u'])
+    logits = feat @ w_fc + p['class_head']['biases']
+    np.testing.assert_allclose(np.asarray(ours_logits), logits, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(ours_sig),
+                               1.0 / (1.0 + np.exp(-logits)), atol=1e-5)
 
 
 def test_deconv2d_stride1_1x1_matches_torch():
