@@ -1,0 +1,106 @@
+"""Serving tests: dynamic batcher + HTTP endpoint (edgegan_tpu/serve.py)."""
+import io
+import threading
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from edgegan_tpu.core.config import Config
+from edgegan_tpu.infer import make_test_forward
+from edgegan_tpu.serve import Batcher, make_server
+from edgegan_tpu.train import Networks, create_train_state
+
+H, W = 32, 64
+
+
+@pytest.fixture(scope='module')
+def served():
+    cfg = Config(batch_size=4, num_classes=3, z_dim=8,
+                 output_height=H, output_width=W,
+                 input_height=H, input_width=W,
+                 image_dis_size=32, edge_dis_size=32).derive('test')
+    nets = Networks(cfg)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    params = {k: state.params[k] for k in ('G1', 'G2', 'E')}
+    aux = {k: state.aux[k] for k in ('G1', 'G2', 'E')}
+    forward = make_test_forward(nets, cfg)
+    batcher = Batcher(forward, params, aux, (H, W), cfg.num_classes,
+                      max_batch=4, max_wait_ms=30.0)
+    server = make_server(cfg, batcher, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield cfg, batcher, server.server_address[1]
+    server.shutdown()
+    batcher.stop()
+
+
+def test_batcher_direct(served):
+    _, batcher, _ = served
+    img = np.random.RandomState(0).uniform(-1, 1, (H, W, 3)).astype(
+        np.float32)
+    out = batcher.submit(img, 1).get(timeout=300)
+    assert out.shape == (H, W // 2, 3)
+    assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
+
+
+def test_http_generate_and_health(served):
+    import http.client
+    _, _, port = served
+    # a PNG sketch request
+    arr = (np.random.RandomState(1).rand(H, W, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format='PNG')
+    conn = http.client.HTTPConnection('127.0.0.1', port, timeout=300)
+    conn.request('POST', '/generate?class_id=2', body=buf.getvalue())
+    resp = conn.getresponse()
+    assert resp.status == 200
+    out = Image.open(io.BytesIO(resp.read()))
+    assert out.size == (W // 2, H)  # the generated photo half
+
+    conn.request('GET', '/healthz')
+    health = conn.getresponse()
+    assert health.status == 200
+    import json
+    stats = json.loads(health.read())
+    assert stats['ok'] and stats['requests'] >= 1
+
+
+def test_http_concurrent_requests_batch(served):
+    """Concurrent requests ride one padded batch (dynamic batching)."""
+    import http.client
+    _, batcher, port = served
+    arr = (np.random.RandomState(2).rand(H, W, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format='PNG')
+    payload = buf.getvalue()
+    batches_before = batcher.n_batches
+    results = []
+
+    def post():
+        conn = http.client.HTTPConnection('127.0.0.1', port, timeout=300)
+        conn.request('POST', '/generate?class_id=0', body=payload)
+        results.append(conn.getresponse().status)
+
+    threads = [threading.Thread(target=post) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert results == [200, 200, 200, 200]
+    # 4 requests should take far fewer than 4 batches
+    assert batcher.n_batches - batches_before <= 3
+    assert max(batcher.batch_occupancy) >= 2
+
+
+def test_http_bad_requests(served):
+    import http.client
+    _, _, port = served
+    conn = http.client.HTTPConnection('127.0.0.1', port, timeout=60)
+    conn.request('POST', '/generate?class_id=99', body=b'notanimage')
+    assert conn.getresponse().status == 400
+    conn = http.client.HTTPConnection('127.0.0.1', port, timeout=60)
+    conn.request('POST', '/nope', body=b'')
+    assert conn.getresponse().status == 404
