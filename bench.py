@@ -177,5 +177,10 @@ if __name__ == '__main__':
         main(dtype='bfloat16', update_mode='fast')
     elif len(sys.argv) > 1 and sys.argv[1] == '128':
         main(dtype='bfloat16', hires=True)
-    else:
+    elif len(sys.argv) > 1 and sys.argv[1] == 'f32':
         main()
+    else:
+        # default: bf16 faithful — identical 7-group update semantics,
+        # mixed precision (f32 master params/loss reductions, bf16
+        # matmuls on the MXU). `python bench.py f32` for full f32.
+        main(dtype='bfloat16')

@@ -91,6 +91,22 @@ def main(argv=None):
     from ..summaries import SummaryWriter
     tb = SummaryWriter(config.logdir, nets, config) if p0 else None
 
+    # Preemption-safe shutdown: on SIGTERM/SIGINT, finish the current
+    # step, save a checkpoint, and exit cleanly. (The reference can lose
+    # up to save_checkpoint_frequency steps on a mid-run kill,
+    # models/edgegan.py:487-489.) Single-process only: in multi-host
+    # runs a one-sided collective save would deadlock, so the cadence
+    # checkpoint remains the recovery point there.
+    import signal
+    stop_requested = []
+
+    def _request_stop(signum, frame):
+        stop_requested.append(signum)
+
+    if jax.process_count() == 1:
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, _request_stop)
+
     profiling = False
     start_time = time.time()
     # One loader (and thread pool) for the whole run; each epoch's
@@ -100,6 +116,8 @@ def main(argv=None):
     loader = PrefetchLoader(dataset, prefetch=config.prefetch,
                             sharding=data_sharding)
     for epoch in range(config.epoch):
+        if stop_requested:
+            break
         dataset.shuffle()
         for idx, (batch_images, batch_z, _files) in enumerate(loader):
             if (p0 and config.profile_steps and counter == 2
@@ -148,6 +166,14 @@ def main(argv=None):
                     print(' [*] Saving checkpoints...')
                 ckpt.save(config.checkpoint_dir, counter, state,
                           keep=config.keep_checkpoint_max)
+            if stop_requested:
+                break
+    if stop_requested:
+        if p0:
+            print(f' [*] Caught signal {stop_requested[0]}: saving '
+                  f'checkpoint at counter {counter} and exiting')
+        ckpt.save(config.checkpoint_dir, counter, state,
+                  keep=config.keep_checkpoint_max)
     loader.close()
     if profiling:
         jax.profiler.stop_trace()

@@ -95,6 +95,66 @@ def test_train_then_test_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_sigterm_saves_checkpoint(tmp_path):
+    """Preemption safety: SIGTERM mid-run saves a checkpoint at the
+    CURRENT counter and exits 0 (the reference can lose up to
+    save_checkpoint_frequency steps on a kill)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    dataroot = str(tmp_path / 'data')
+    outputs = str(tmp_path / 'outputs')
+    synth_dataset(dataroot, n_train=8, n_test=1)
+    script = (
+        "import os, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS', '') + "
+        "' --xla_force_host_platform_device_count=8'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from edgegan_tpu.cli.train import main\n"
+        "main(%r)\n"
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+         common_flags(dataroot, outputs) + [
+             '--batch_size', '8', '--epoch', '1000',
+             '--save_checkpoint_frequency', '1000000'])
+    env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
+    proc = subprocess.Popen([sys.executable, '-c', script], env=env,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    metrics_path = os.path.join(outputs, 'e2e', 'logs', 'metrics.jsonl')
+    deadline = time.time() + 840
+    try:
+        # wait until at least 2 steps are logged, then request stop
+        while time.time() < deadline:
+            if (os.path.exists(metrics_path)
+                    and len(open(metrics_path).readlines()) >= 2):
+                break
+            if proc.poll() is not None:
+                raise AssertionError(proc.communicate()[0][-3000:])
+            time.sleep(2)
+        else:
+            raise AssertionError('training never started stepping')
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out[-3000:]
+    assert 'Caught signal' in out
+    # counter % freq == 2 fires at counter 2 for ANY freq (quirk Q9), so
+    # a cadence checkpoint exists too; the signal save must land at the
+    # exact counter of the last completed step.
+    last_step = json.loads(open(metrics_path).readlines()[-1])['step']
+    from edgegan_tpu import checkpoint as ckpt_mod
+    d = os.path.join(outputs, 'e2e', 'checkpoints')
+    assert ckpt_mod.latest_step(d) == last_step > 2, (
+        os.listdir(d), last_step)
+
+
+@pytest.mark.slow
 def test_train_resumes_from_checkpoint(tmp_path):
     """Second train invocation must pick up the saved counter
     (reference models/edgegan.py:447-453)."""
