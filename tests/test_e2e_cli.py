@@ -155,6 +155,47 @@ def test_sigterm_saves_checkpoint(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_train_cli(tmp_path):
+    """The REAL train CLI under 2 jax.distributed processes: sharded
+    dataset decode, put_global batches, process-0 writes, collective
+    Orbax saves (SURVEY §2.4 multi-host component, end to end)."""
+    import socket
+    import subprocess
+    import sys
+
+    dataroot = str(tmp_path / 'data')
+    outputs = str(tmp_path / 'outputs')
+    synth_dataset(dataroot, n_train=8, n_test=1)
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), '_mp_train_worker.py')
+    procs = []
+    for pid in range(2):
+        env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
+        env.update(JAX_COORDINATOR_ADDRESS=f'localhost:{port}',
+                   JAX_NUM_PROCESSES='2', JAX_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, dataroot, outputs], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+    # process 0 logs; process 1 must stay silent on host artifacts
+    assert 'Epoch:' in outs[0]
+    assert 'Epoch:' not in outs[1]
+    lines = [json.loads(line) for line in
+             open(os.path.join(outputs, 'mp', 'logs', 'metrics.jsonl'))]
+    # 24 files / global batch 8 = 3 steps, logged once (not twice)
+    assert [m['step'] for m in lines] == [2, 3, 4]
+    for m in lines:
+        for k, v in m.items():
+            assert np.isfinite(v), (k, m)
+    ckpts = sorted(os.listdir(os.path.join(outputs, 'mp', 'checkpoints')))
+    assert ckpts == ['EdgeGAN-Model-2'], ckpts
+
+
+@pytest.mark.slow
 def test_train_resumes_from_checkpoint(tmp_path):
     """Second train invocation must pick up the saved counter
     (reference models/edgegan.py:447-453)."""
