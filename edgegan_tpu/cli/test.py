@@ -69,6 +69,12 @@ def main(argv=None):
     add_config_args(parser, 'test')
     args = parser.parse_args(argv)
     config = config_from_args(args).derive('test')
+    if config.output_combination == 'outputL_inputR':
+        # quirk Q7: this mode crashes in the reference (undefined
+        # inputR, models/edgegan.py:613-614) — reject up front.
+        raise SystemExit(
+            "output_combination 'outputL_inputR' is broken in the "
+            'reference (undefined inputR, models/edgegan.py:613-614)')
     from ..core.config import enable_compilation_cache
     enable_compilation_cache()
 
@@ -131,10 +137,6 @@ def main(argv=None):
             results = np.append(inputL, outputR, axis=2)
         elif config.output_combination == 'outputR':
             results = outputR
-        elif config.output_combination == 'outputL_inputR':
-            raise SystemExit(
-                "output_combination 'outputL_inputR' is broken in the "
-                'reference (undefined inputR, models/edgegan.py:613-614)')
         else:  # 'full'
             results = np.append(batch_images, outputL, axis=2)
             results = np.append(results, outputR, axis=2)

@@ -80,6 +80,16 @@ def test_real_testset_loads(tmp_path):
     assert imgs.min() >= -1.0 and imgs.max() <= 1.0
 
 
+def test_broken_output_combination_rejected(tmp_path):
+    """Quirk Q7: the reference's 'outputL_inputR' mode crashes
+    (undefined inputR, models/edgegan.py:613-614); the rebuild rejects
+    it up front with a clear error instead of a NameError."""
+    from edgegan_tpu.cli import test as cli_test
+    with pytest.raises(SystemExit, match='outputL_inputR'):
+        cli_test.main(['--dataroot', str(tmp_path), '--dataset', 'ds',
+                       '--output_combination', 'outputL_inputR'])
+
+
 def test_flat_test_paths_are_masked_not_fatal():
     """The reference's example test files sit flat (no class dir): the
     class parse hits 'test' -> masked out like the reference's bare
