@@ -139,6 +139,9 @@ def make_server(config, batcher: Batcher, port: int = 8000,
     input_hw = (config.output_height, config.output_width)
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = 'HTTP/1.1'  # keep-alive (Content-Length is
+        #                                always set below)
+
         def log_message(self, *args):
             pass  # quiet
 
