@@ -45,7 +45,7 @@ def common_flags(dataroot, outputs):
 
 
 @pytest.mark.slow
-def test_train_then_test_cli(tmp_path):
+def test_train_then_test_cli(tmp_path, capsys):
     dataroot = str(tmp_path / 'data')
     outputs = str(tmp_path / 'outputs')
     synth_dataset(dataroot)
@@ -80,6 +80,19 @@ def test_train_then_test_cli(tmp_path):
 
     # TensorBoard event files written
     assert glob.glob(os.path.join(outputs, 'e2e', 'logs', 'events.*'))
+
+    # quirk Q11: stdout prints 2x the summed critic losses
+    # (reference models/edgegan.py:484-486)
+    import re
+    epoch_lines = [line for line in capsys.readouterr().out.splitlines()
+                   if line.startswith('Epoch:')]
+    assert len(epoch_lines) == 6
+    printed = float(re.search(r'joint_dis_dloss: (-?[\d.]+)',
+                              epoch_lines[-1]).group(1))
+    last = lines[-1]
+    expected = 2 * (last['joint_dis_dloss'] + last['image_dis_dloss']
+                    + last['edge_dis_dloss'])
+    assert abs(printed - expected) < 1e-4, (printed, expected)
 
     # ---- test CLI: restores E/G1/G2 from the latest checkpoint ----
     cli_test.main(common_flags(dataroot, outputs))
