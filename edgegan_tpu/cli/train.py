@@ -108,6 +108,7 @@ def main(argv=None):
             signal.signal(sig, _request_stop)
 
     profiling = False
+    nan_streak = False
     start_time = time.time()
     # One loader (and thread pool) for the whole run; each epoch's
     # iteration submits fresh decode futures against the reshuffled
@@ -152,6 +153,24 @@ def main(argv=None):
                     {'step': counter, 'epoch': epoch, **metrics}) + '\n')
                 metrics_log.flush()
                 tb.scalars(counter, metrics)
+                # NaN detection (the reference trains on silently; WGAN
+                # critics can diverge on degenerate data — BASELINE.md)
+                bad = [k for k, v in metrics.items()
+                       if not np.isfinite(v)]
+                if bad and config.nan_policy != 'ignore':
+                    if not nan_streak:
+                        print(f' [!] non-finite losses at step {counter}: '
+                              f'{",".join(sorted(bad))}')
+                    nan_streak = True
+                    if (config.nan_policy == 'halt'
+                            and jax.process_count() == 1):
+                        print(' [!] nan_policy=halt: saving checkpoint '
+                              'and exiting')
+                        ckpt.save(config.checkpoint_dir, counter, state,
+                                  keep=config.keep_checkpoint_max)
+                        raise SystemExit(1)
+                else:
+                    nan_streak = False
                 if counter % config.summary_frequency == 0:
                     tb.extras(counter, state, batch_images, batch_z)
             if profiling and counter >= 2 + config.profile_steps:

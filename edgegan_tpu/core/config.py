@@ -96,6 +96,10 @@ class Config:
     #                               test.py:89; the fused forward is
     #                               batch-agnostic). Trailing files that
     #                               don't fill a batch are dropped (Q10).
+    nan_policy: str = 'warn'      # non-finite metrics: 'warn' (print
+    #                               once per streak), 'halt' (save a
+    #                               checkpoint and exit 1), 'ignore'
+    #                               (reference behavior: train on).
 
     def derive(self, phase: str = 'train') -> 'Config':
         """Reference update_flags (train.py:85-98, test.py:85-97)."""

@@ -115,6 +115,16 @@ def main():
                 m = {k: round(float(v), 3)
                      for k, v in jax.device_get(metrics).items()}
                 print(f'step {done} ({time.time()-t0:.0f}s): {m}')
+                if not all(np.isfinite(v) for v in m.values()):
+                    # WGAN critics can diverge on this degenerate
+                    # synthetic set (near-flat edge maps weaken the GP
+                    # constraint; onset is seed-dependent, observed as
+                    # early as ~275 and absent at 600 on the default
+                    # stream — see BASELINE.md). Report and stop rather
+                    # than scoring NaN samples.
+                    print(f'DIVERGED (non-finite losses) by step {done} '
+                          '— shorten --steps or change --seed')
+                    sys.exit(1)
             if done >= args.steps:
                 break
         loader.close()

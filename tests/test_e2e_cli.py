@@ -108,6 +108,39 @@ def test_train_then_test_cli(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_nan_policy_halt(tmp_path, monkeypatch):
+    """--nan_policy halt: first non-finite metric saves a checkpoint
+    and exits 1 (the reference silently trains on NaN forever)."""
+    import jax.numpy as jnp
+    from edgegan_tpu.cli import train as cli_train
+
+    real_make = cli_train.make_train_step
+
+    def nan_make(nets, config):
+        real = real_make(nets, config)
+
+        def stepfn(state, images, z, rng):
+            new_state, metrics = real(state, images, z, rng)
+            return new_state, {k: v * jnp.nan for k, v in metrics.items()}
+        return stepfn
+
+    monkeypatch.setattr(cli_train, 'make_train_step', nan_make)
+    dataroot = str(tmp_path / 'data')
+    outputs = str(tmp_path / 'outputs')
+    synth_dataset(dataroot, n_train=8, n_test=1)
+    with pytest.raises(SystemExit) as exc:
+        cli_train.main(common_flags(dataroot, outputs) + [
+            '--batch_size', '8', '--epoch', '1',
+            '--save_checkpoint_frequency', '1000000',
+            '--nan_policy', 'halt'])
+    assert exc.value.code == 1
+    # the halt checkpoint landed at the first (NaN) step's counter
+    from edgegan_tpu import checkpoint as ckpt_mod
+    assert ckpt_mod.latest_step(
+        os.path.join(outputs, 'e2e', 'checkpoints')) == 2
+
+
+@pytest.mark.slow
 def test_sigterm_saves_checkpoint(tmp_path):
     """Preemption safety: SIGTERM mid-run saves a checkpoint at the
     CURRENT counter and exits 0 (the reference can lose up to
