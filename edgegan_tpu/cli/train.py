@@ -17,8 +17,9 @@ import numpy as np
 
 from ..core.config import Config, add_config_args, config_from_args
 from ..data import Dataset, PrefetchLoader
-from ..parallel import (batch_sharding, create_mesh, is_process_zero,
-                        maybe_distributed_init, replicated)
+from ..parallel import (barrier, batch_sharding, create_mesh,
+                        is_process_zero, maybe_distributed_init, put_global,
+                        replicated)
 from ..train import Networks, create_train_state, make_train_step
 from .. import checkpoint as ckpt
 from ..utils import makedirs, show_all_variables
@@ -86,6 +87,22 @@ def main(argv=None):
 
     train_step = jax.jit(make_train_step(nets, config),
                          donate_argnums=(0,))
+    if nproc > 1:
+        # AOT-compile on every process, then rendezvous. Without this,
+        # inter-process compile-time skew (persistent-cache hit on one
+        # host, cold compile on another) makes the faster process die
+        # in its first collective: Gloo/ICI context creation only waits
+        # ~30 s for the peer (see parallel.barrier).
+        zdim = config.z_dim + (1 if config.multiclasses else 0)
+        local_b = config.batch_size // nproc
+        di, dz = put_global(
+            data_sharding,
+            np.zeros((local_b, config.output_height, config.output_width,
+                      3), np.float32),
+            np.zeros((local_b, zdim), np.float32))
+        dkey = jax.device_put(jax.random.fold_in(rng, 0), replicated(mesh))
+        train_step = train_step.lower(state, di, dz, dkey).compile()
+        barrier('edgegan_train_step_compiled')
     metrics_log = (open(os.path.join(config.logdir, 'metrics.jsonl'), 'a')
                    if p0 else None)
     from ..summaries import SummaryWriter
@@ -127,6 +144,9 @@ def main(argv=None):
                     os.path.join(config.logdir, 'profile'))
                 profiling = True
             step_rng = jax.random.fold_in(rng, counter)
+            if nproc > 1:
+                # match the AOT-compiled executable's input sharding
+                step_rng = jax.device_put(step_rng, replicated(mesh))
             state, device_metrics = train_step(state, batch_images,
                                                batch_z, step_rng)
             counter += 1

@@ -74,6 +74,26 @@ def is_process_zero() -> bool:
     return jax.process_index() == 0
 
 
+def barrier(name: str, timeout_ms: int = 1_800_000):
+    """Coordination-service barrier (multi-process only; no-op
+    otherwise). Unlike a device collective, this rendezvous has a
+    configurable timeout — use it to absorb inter-process COMPILE-TIME
+    skew before the first executed collective: Gloo/ICI context
+    creation inside a collective has a short (~30 s) key-exchange
+    timeout, so if one host compiles from cache in seconds while
+    another compiles cold for minutes, the faster one dies waiting."""
+    if jax.process_count() == 1:
+        return
+    try:
+        from jax._src import distributed
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(name, timeout_ms)
+    except Exception as e:  # pragma: no cover - depends on jax internals
+        import logging
+        logging.warning('parallel.barrier(%s) unavailable: %s', name, e)
+
+
 def put_global(sharding: NamedSharding, *arrays):
     """Assemble global device arrays from per-process host shards.
 

@@ -24,7 +24,7 @@ def main():
 
     import numpy as np
     from edgegan_tpu.core.config import Config
-    from edgegan_tpu.parallel import (batch_sharding, create_mesh,
+    from edgegan_tpu.parallel import (barrier, batch_sharding, create_mesh,
                                       is_process_zero,
                                       maybe_distributed_init, put_global,
                                       replicated)
@@ -64,8 +64,13 @@ def main():
     images, z = put_global(sharding, images_g[lo:hi], z_g[lo:hi])
     assert images.shape == (b, 32, 64, 3)  # global shape, local shard
 
-    step = jax.jit(make_train_step(nets, cfg))
-    new_state, metrics = step(state, images, z, jax.random.PRNGKey(3))
+    # compile-before-execute + rendezvous: absorbs compile-time skew so
+    # the first collective's Gloo context init can't time out
+    key = jax.device_put(jax.random.PRNGKey(3), repl)
+    step = jax.jit(make_train_step(nets, cfg)).lower(
+        state, images, z, key).compile()
+    barrier('mp_worker_compiled')
+    new_state, metrics = step(state, images, z, key)
     jax.block_until_ready(metrics)
     metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
     if is_process_zero():
