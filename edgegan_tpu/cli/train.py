@@ -60,7 +60,8 @@ def main(argv=None):
                       # its batch shard
                       rng=(np.random.RandomState(config.seed)
                            if nproc > 1 else None),
-                      shard=(jax.process_index(), nproc))
+                      shard=(jax.process_index(), nproc),
+                      seed=config.seed)
 
     mesh = create_mesh() if config.data_parallel else None
     data_sharding = batch_sharding(mesh) if mesh else None
@@ -111,18 +112,33 @@ def main(argv=None):
     # Preemption-safe shutdown: on SIGTERM/SIGINT, finish the current
     # step, save a checkpoint, and exit cleanly. (The reference can lose
     # up to save_checkpoint_frequency steps on a mid-run kill,
-    # models/edgegan.py:487-489.) Single-process only: in multi-host
-    # runs a one-sided collective save would deadlock, so the cadence
-    # checkpoint remains the recovery point there.
+    # models/edgegan.py:487-489.)
+    #
+    # Single-process: a Python signal handler sets a flag.
+    # Multi-process: a one-sided collective save would deadlock, so the
+    # decision must be collective — jax.distributed's preemption sync
+    # manager (its C++ SIGTERM watcher broadcasts the notice through the
+    # coordination service; reached_preemption_sync_point returns True at
+    # the SAME step on every process). Don't also install a Python
+    # handler there: it would shadow the watcher's.
     import signal
     stop_requested = []
 
     def _request_stop(signum, frame):
         stop_requested.append(signum)
 
-    if jax.process_count() == 1:
+    preemption_sync = None
+    if nproc == 1:
         for sig in (signal.SIGTERM, signal.SIGINT):
             signal.signal(sig, _request_stop)
+    else:
+        from jax.experimental import multihost_utils
+
+        def preemption_sync(step):  # noqa: F811
+            try:
+                return multihost_utils.reached_preemption_sync_point(step)
+            except RuntimeError:  # sync manager unavailable on backend
+                return False
 
     profiling = False
     nan_streak = False
@@ -150,14 +166,20 @@ def main(argv=None):
             state, device_metrics = train_step(state, batch_images,
                                                batch_z, step_rng)
             counter += 1
-            if p0:
-                # One bulk device->host transfer, AFTER the next
-                # dispatch is already enqueued by jax's async dispatch —
-                # the transfer latency hides behind device execution.
-                # (8 separate float() pulls would cost 8 round trips
-                # through the TPU tunnel.)
+            # One bulk device->host transfer, AFTER the next dispatch is
+            # already enqueued by jax's async dispatch — the transfer
+            # latency hides behind device execution. (8 separate float()
+            # pulls would cost 8 round trips through the TPU tunnel.)
+            # Metrics are replicated, so EVERY process pulls its local
+            # copy: the NaN-halt decision below is taken identically on
+            # all processes, making the Orbax save collective.
+            if nproc > 1:
+                metrics = {k: float(np.asarray(v.addressable_data(0)))
+                           for k, v in device_metrics.items()}
+            else:
                 metrics = {k: float(v) for k, v in
                            jax.device_get(device_metrics).items()}
+            if p0:
                 d_err = (metrics.get('joint_dis_dloss', 0.0)
                          + metrics.get('image_dis_dloss', 0.0)
                          + metrics.get('edge_dis_dloss', 0.0))
@@ -173,26 +195,31 @@ def main(argv=None):
                     {'step': counter, 'epoch': epoch, **metrics}) + '\n')
                 metrics_log.flush()
                 tb.scalars(counter, metrics)
-                # NaN detection (the reference trains on silently; WGAN
-                # critics can diverge on degenerate data — BASELINE.md)
-                bad = [k for k, v in metrics.items()
-                       if not np.isfinite(v)]
-                if bad and config.nan_policy != 'ignore':
-                    if not nan_streak:
-                        print(f' [!] non-finite losses at step {counter}: '
-                              f'{",".join(sorted(bad))}')
-                    nan_streak = True
-                    if (config.nan_policy == 'halt'
-                            and jax.process_count() == 1):
+            # NaN detection (the reference trains on silently; WGAN
+            # critics can diverge on degenerate data — BASELINE.md).
+            # Runs on all processes over the replicated metrics, so
+            # halt's checkpoint-save is a proper collective.
+            bad = [k for k, v in metrics.items() if not np.isfinite(v)]
+            if bad and config.nan_policy != 'ignore':
+                if not nan_streak and p0:
+                    print(f' [!] non-finite losses at step {counter}: '
+                          f'{",".join(sorted(bad))}')
+                nan_streak = True
+                if config.nan_policy == 'halt':
+                    if p0:
                         print(' [!] nan_policy=halt: saving checkpoint '
                               'and exiting')
-                        ckpt.save(config.checkpoint_dir, counter, state,
-                                  keep=config.keep_checkpoint_max)
-                        raise SystemExit(1)
-                else:
-                    nan_streak = False
-                if counter % config.summary_frequency == 0:
-                    tb.extras(counter, state, batch_images, batch_z)
+                    ckpt.save(config.checkpoint_dir, counter, state,
+                              keep=config.keep_checkpoint_max)
+                    raise SystemExit(1)
+            else:
+                nan_streak = False
+            if p0 and counter % config.summary_frequency == 0:
+                tb.extras(counter, state, batch_images, batch_z)
+            # Multi-process preemption: all processes agree on the same
+            # stop step through the coordination service.
+            if preemption_sync is not None and preemption_sync(counter):
+                stop_requested.append(signal.SIGTERM)
             if profiling and counter >= 2 + config.profile_steps:
                 jax.block_until_ready(state.step)
                 jax.profiler.stop_trace()

@@ -30,7 +30,9 @@ class Dataset:
     def __init__(self, dataroot, name, size, batchsize, config,
                  num_classes: Optional[int] = None, phase: str = 'train',
                  rng: Optional[np.random.RandomState] = None,
-                 cache: bool = False, shard=(0, 1)):
+                 cache: bool = False, shard=(0, 1),
+                 seed: Optional[int] = None,
+                 subdir: Optional[str] = None):
         """`cache=True` keeps every decoded+transformed image in RAM as
         float32 after first touch. The reference re-decodes and resizes
         every PNG on every epoch (dataset.py:58-67); at TPU step times
@@ -52,21 +54,31 @@ class Dataset:
         self.process_index, self.process_count = shard
         assert batchsize % self.process_count == 0, (batchsize, shard)
         self.local_batchsize = batchsize // self.process_count
+        # Multi-process z streams must differ per process AND respect the
+        # run seed (a fixed 977+index stream would make every multi-host
+        # run draw identical latents regardless of --seed).
         self._z_rng = (self.rng if self.process_count == 1 else
-                       np.random.RandomState(977 + self.process_index))
+                       np.random.RandomState(
+                           ((seed or 0) * 1000 + 977 + self.process_index)
+                           % (2 ** 32)))
+        # `subdir` decouples the on-disk split directory from the phase
+        # semantics, so train-style listing (class dirs, z latents) can
+        # be pointed at any directory of paired images — e.g. a held-out
+        # test split for out-of-sample evaluation (scripts/evaluate.py).
+        subdir = subdir or phase
         if phase == 'train':
             if num_classes is not None:
                 self.data = []
                 for i in range(num_classes):
                     for ext in ('*.png', '*.jpg'):
                         self.data.extend(glob(os.path.join(
-                            dataroot, name, phase, str(i), ext)))
-                data_path = os.path.join(dataroot, name, phase)
+                            dataroot, name, subdir, str(i), ext)))
+                data_path = os.path.join(dataroot, name, subdir)
             else:
-                data_path = os.path.join(dataroot, name, phase, '*.png')
+                data_path = os.path.join(dataroot, name, subdir, '*.png')
                 self.data = glob(data_path)
         else:
-            data_path = os.path.join(dataroot, name, phase)
+            data_path = os.path.join(dataroot, name, subdir)
             self.data = sorted(extension_match_recursive(
                 data_path, ['*.png', '*.jpg']))
 

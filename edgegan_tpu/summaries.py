@@ -74,9 +74,26 @@ class SummaryWriter:
                 self.writer.scalar(k, float(metrics[k]), step)
 
     def extras(self, step: int, state, images, z):
-        """Histogram + image summaries (mirrors d_sum/g_sum content)."""
+        """Histogram + image summaries (mirrors d_sum/g_sum content).
+
+        Multi-process safe: this runs on process 0 only, so the global
+        (non-fully-addressable) batch arrays and mesh-committed params
+        must first be reduced to process-local values — a p0-only jit
+        over multi-process arrays is invalid SPMD, and np.asarray on a
+        non-fully-addressable jax.Array raises. The summaries then cover
+        process 0's shard of the batch (plenty for TB images/histograms).
+        """
+        params, aux = state.params, state.aux
+        if jax.process_count() > 1:
+            local_leaf = (lambda x: x.addressable_data(0)
+                          if isinstance(x, jax.Array)
+                          and not x.is_fully_addressable else x)
+            params = jax.tree.map(local_leaf, params)
+            aux = jax.tree.map(local_leaf, aux)
+            images = _local_batch(images)
+            z = _local_batch(z)
         imgs, hists = self._sample(
-            state.params, state.aux, jnp.asarray(z), jnp.asarray(images))
+            params, aux, jnp.asarray(z), jnp.asarray(images))
         self.writer.histogram('z', np.asarray(z), step)
         for name, arr in hists.items():
             self.writer.histogram(name, np.asarray(arr), step)
@@ -87,6 +104,19 @@ class SummaryWriter:
 
     def close(self):
         self.writer.close()
+
+
+def _local_batch(x) -> np.ndarray:
+    """This process's rows of a (possibly batch-sharded, multi-process)
+    global array, as host numpy. Replicated arrays collapse to one shard;
+    batch-sharded ones concatenate the local shards in batch order."""
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    shards = {s.index: np.asarray(s.data) for s in x.addressable_shards}
+    if len(shards) == 1:
+        return next(iter(shards.values()))
+    items = sorted(shards.items(), key=lambda kv: kv[0][0].start or 0)
+    return np.concatenate([v for _, v in items], axis=0)
 
 
 def _grid(batch: np.ndarray, max_images: int = 8) -> np.ndarray:

@@ -16,7 +16,25 @@ def main():
     import jax
     jax.config.update('jax_platforms', 'cpu')
 
-    from edgegan_tpu.cli.train import main as train_main
+    from edgegan_tpu.cli import train as cli_train
+    if os.environ.get('MP_TEST_NAN') == '1':
+        # fault injection for the 2-process nan_policy=halt test: every
+        # metric becomes NaN so all processes must take the same halt
+        # decision and meet in the collective checkpoint save
+        import jax.numpy as jnp
+        real_make = cli_train.make_train_step
+
+        def nan_make(nets, config):
+            real = real_make(nets, config)
+
+            def stepfn(state, images, z, rng):
+                new_state, metrics = real(state, images, z, rng)
+                return new_state, {k: v * jnp.nan
+                                   for k, v in metrics.items()}
+            return stepfn
+        cli_train.make_train_step = nan_make
+
+    train_main = cli_train.main
     dataroot = sys.argv[1]
     outputs = sys.argv[2]
     train_main([
@@ -27,8 +45,11 @@ def main():
         '--image_dis_size', '32', '--edge_dis_size', '32',
         '--batch_size', '8', '--epoch', '1',
         '--save_checkpoint_frequency', '3',
+        # exercise the TB extras path under multi-process sharding
+        # (regression: p0-only jit over global arrays crashed here)
+        '--summary_frequency', '2',
         '--name', 'mp', '--outputsroot', outputs,
-    ])
+    ] + sys.argv[3:])  # test-specific flag overrides (argparse: last wins)
     print(f'WORKER_DONE pid={jax.process_index()}', flush=True)
 
 

@@ -200,18 +200,12 @@ def test_sigterm_saves_checkpoint(tmp_path):
         os.listdir(d), last_step)
 
 
-@pytest.mark.slow
-def test_two_process_train_cli(tmp_path):
-    """The REAL train CLI under 2 jax.distributed processes: sharded
-    dataset decode, put_global batches, process-0 writes, collective
-    Orbax saves (SURVEY §2.4 multi-host component, end to end)."""
+def _spawn_mp_workers(dataroot, outputs, extra=()):
+    """Launch the real train CLI as 2 jax.distributed processes."""
     import socket
     import subprocess
     import sys
 
-    dataroot = str(tmp_path / 'data')
-    outputs = str(tmp_path / 'outputs')
-    synth_dataset(dataroot, n_train=8, n_test=1)
     with socket.socket() as s:
         s.bind(('localhost', 0))
         port = s.getsockname()[1]
@@ -222,8 +216,21 @@ def test_two_process_train_cli(tmp_path):
         env.update(JAX_COORDINATOR_ADDRESS=f'localhost:{port}',
                    JAX_NUM_PROCESSES='2', JAX_PROCESS_ID=str(pid))
         procs.append(subprocess.Popen(
-            [sys.executable, worker, dataroot, outputs], env=env,
+            [sys.executable, worker, dataroot, outputs, *extra], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    return procs
+
+
+@pytest.mark.slow
+def test_two_process_train_cli(tmp_path):
+    """The REAL train CLI under 2 jax.distributed processes: sharded
+    dataset decode, put_global batches, process-0 writes (incl. the TB
+    extras forward over the global batch), collective Orbax saves
+    (SURVEY §2.4 multi-host component, end to end)."""
+    dataroot = str(tmp_path / 'data')
+    outputs = str(tmp_path / 'outputs')
+    synth_dataset(dataroot, n_train=8, n_test=1)
+    procs = _spawn_mp_workers(dataroot, outputs)
     outs = [p.communicate(timeout=1200)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-4000:]
@@ -239,6 +246,99 @@ def test_two_process_train_cli(tmp_path):
             assert np.isfinite(v), (k, m)
     ckpts = sorted(os.listdir(os.path.join(outputs, 'mp', 'checkpoints')))
     assert ckpts == ['EdgeGAN-Model-2'], ckpts
+
+
+@pytest.mark.slow
+def test_two_process_resume(tmp_path):
+    """Restart-from-checkpoint under jax.distributed: collective Orbax
+    restore + counter continuation across 2 processes (the multi-host
+    analogue of test_train_resumes_from_checkpoint)."""
+    dataroot = str(tmp_path / 'data')
+    outputs = str(tmp_path / 'outputs')
+    synth_dataset(dataroot, n_train=8, n_test=1)
+    for launch in range(2):
+        procs = _spawn_mp_workers(dataroot, outputs)
+        outs = [p.communicate(timeout=1200)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, (launch, out[-4000:])
+    assert 'Load SUCCESS' in outs[0]
+    lines = [json.loads(line) for line in
+             open(os.path.join(outputs, 'mp', 'logs', 'metrics.jsonl'))]
+    # first launch logs steps 2,3,4 (save at 2); resume continues 3,4,5
+    assert [m['step'] for m in lines] == [2, 3, 4, 3, 4, 5]
+    for m in lines:
+        for k, v in m.items():
+            assert np.isfinite(v), (k, m)
+
+
+@pytest.mark.slow
+def test_two_process_nan_halt(tmp_path, monkeypatch):
+    """nan_policy=halt under jax.distributed: metrics are replicated, so
+    every process takes the same halt decision, enters the COLLECTIVE
+    checkpoint save, and exits 1 (round 2 left halt silently inert in
+    multi-process runs — ADVICE r2)."""
+    monkeypatch.setenv('MP_TEST_NAN', '1')
+    dataroot = str(tmp_path / 'data')
+    outputs = str(tmp_path / 'outputs')
+    synth_dataset(dataroot, n_train=8, n_test=1)
+    procs = _spawn_mp_workers(
+        dataroot, outputs,
+        extra=('--nan_policy', 'halt',
+               '--save_checkpoint_frequency', '1000000'))
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 1, out[-4000:]
+    assert 'nan_policy=halt' in outs[0]
+    assert 'nan_policy=halt' not in outs[1]  # p0-only print
+    from edgegan_tpu import checkpoint as ckpt_mod
+    d = os.path.join(outputs, 'mp', 'checkpoints')
+    assert ckpt_mod.latest_step(d) == 2, os.listdir(d)
+
+
+@pytest.mark.slow
+def test_two_process_sigterm_saves_checkpoint(tmp_path):
+    """Preemption under jax.distributed: SIGTERM to ONE process must
+    propagate through the coordination service's preemption sync point
+    so BOTH processes stop at the same step and enter the collective
+    checkpoint save (no one-sided deadlock)."""
+    import signal
+    import time
+
+    dataroot = str(tmp_path / 'data')
+    outputs = str(tmp_path / 'outputs')
+    synth_dataset(dataroot, n_train=8, n_test=1)
+    procs = _spawn_mp_workers(
+        dataroot, outputs,
+        extra=('--epoch', '100000', '--save_checkpoint_frequency',
+               '1000000', '--summary_frequency', '1000000'))
+    metrics_path = os.path.join(outputs, 'mp', 'logs', 'metrics.jsonl')
+    deadline = time.time() + 900
+    try:
+        while time.time() < deadline:
+            if (os.path.exists(metrics_path)
+                    and len(open(metrics_path).readlines()) >= 2):
+                break
+            for p in procs:
+                if p.poll() is not None:
+                    raise AssertionError(p.communicate()[0][-4000:])
+            time.sleep(2)
+        else:
+            raise AssertionError('mp training never started stepping')
+        # signal the NON-zero process: only the sync protocol can tell
+        # process 0 to stop
+        procs[1].send_signal(signal.SIGTERM)
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+    assert 'Caught signal' in outs[0]
+    from edgegan_tpu import checkpoint as ckpt_mod
+    last_step = json.loads(open(metrics_path).readlines()[-1])['step']
+    d = os.path.join(outputs, 'mp', 'checkpoints')
+    assert ckpt_mod.latest_step(d) == last_step, (os.listdir(d), last_step)
 
 
 @pytest.mark.slow
