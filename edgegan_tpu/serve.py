@@ -7,15 +7,22 @@ dispatch costs ~28 ms of host latency on this backend — so throughput
 comes from BATCHING, not from per-request dispatch. This module
 implements the standard recipe:
 
-  request -> queue -> batcher thread (collects up to `max_batch` or
-  `max_wait_ms`) -> ONE jitted forward at a FIXED batch size (requests
-  padded; jit compiles exactly once) -> responses fanned back out.
+  request -> queue -> dispatch thread (collects up to `max_batch` or
+  `max_wait_ms`, pads to a FIXED batch size so jit compiles exactly
+  once, enqueues the forward WITHOUT syncing) -> up to `depth` batches
+  in flight on the device -> sync thread pulls completed results ->
+  responses fanned back out. jax's async dispatch makes the device
+  compute batch N while batch N+1 is being collected.
 
 Endpoints:
   POST /generate?class_id=N   body: PNG/JPEG sketch (any size; resized
                               to the model's input). Returns a PNG of
                               the generated photo (the G2 half).
-  GET  /healthz               liveness + stats.
+  POST /generate?raw=1        body: raw float32 [H,W,3] pair in [-1,1];
+                              returns raw float32 photo (no PNG codec —
+                              the throughput path for bulk clients).
+  GET  /healthz               liveness (both pipeline threads) + stats;
+                              503 when the pipeline is dead.
 
 Usage:
   python -m edgegan_tpu.serve --name edgegan --outputsroot outputs \
@@ -35,11 +42,24 @@ import numpy as np
 
 
 class Batcher:
-    """Collects requests into fixed-size padded batches and runs them
-    through one jitted forward."""
+    """Collects requests into fixed-size padded batches and keeps up to
+    `depth` batches in flight on the device.
+
+    Two threads form a pipeline around jax's async dispatch:
+      - the DISPATCH thread collects a padded batch and enqueues the
+        jitted forward (returns immediately; the device starts while the
+        next batch is being collected);
+      - the SYNC thread pulls completed device results (np.asarray
+        blocks until ready) and fans them back out to per-request
+        queues.
+    The bounded in-flight queue gives backpressure: at most `depth`
+    batches occupy device memory. A failing forward delivers the
+    exception to every waiting request instead of killing the pipeline.
+    """
 
     def __init__(self, forward, params, aux, input_hw, num_classes,
-                 max_batch: int = 16, max_wait_ms: float = 5.0, seed: int = 0):
+                 max_batch: int = 16, max_wait_ms: float = 5.0,
+                 seed: int = 0, depth: int = 2):
         import jax
         self._jax = jax
         self.forward = forward
@@ -49,24 +69,37 @@ class Batcher:
         self.num_classes = num_classes
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        self.depth = max(1, depth)
         self.queue: 'queue.Queue' = queue.Queue()
+        self._inflight: 'queue.Queue' = queue.Queue(maxsize=self.depth)
         self.rng = jax.random.PRNGKey(seed)
         self.n_batches = 0
         self.n_requests = 0
+        self.n_errors = 0
         self.batch_occupancy = []
         self._stop = threading.Event()
-        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread = threading.Thread(target=self._dispatch_loop,
+                                       daemon=True)
+        self.sync_thread = threading.Thread(target=self._sync_loop,
+                                            daemon=True)
         self.thread.start()
+        self.sync_thread.start()
 
     def submit(self, image: np.ndarray, class_id: int) -> 'queue.Queue':
         """image: [H, W, 3] in [-1, 1] (the pair layout; only the left
         half is read by the encoder). Returns a queue delivering the
-        generated [h, w/2, 3] photo."""
+        generated [h, w/2, 3] photo — or an Exception instance if the
+        forward failed."""
         out: 'queue.Queue' = queue.Queue(maxsize=1)
         self.queue.put((image, class_id, out))
         return out
 
-    def _loop(self):
+    def _fail(self, batch, exc):
+        self.n_errors += 1
+        for _, _, out in batch:
+            out.put(exc)
+
+    def _dispatch_loop(self):
         h, w = self.input_hw
         while not self._stop.is_set():
             try:
@@ -83,34 +116,56 @@ class Batcher:
                     batch.append(self.queue.get(timeout=remaining))
                 except queue.Empty:
                     break
-            n = len(batch)
             # fixed-shape padded batch: jit compiles exactly once
             images = np.zeros((self.max_batch, h, w, 3), np.float32)
             classes = np.zeros((self.max_batch,), np.int32)
             for i, (img, cid, _) in enumerate(batch):
                 images[i] = img
                 classes[i] = cid
-            self.rng, key = self._jax.random.split(self.rng)
-            _, image_out = self.forward(self.params, self.aux, images,
-                                        classes, key)
-            image_out = np.asarray(image_out)
-            for i, (_, _, out) in enumerate(batch):
-                out.put(image_out[i])
-            self.n_batches += 1
-            self.n_requests += n
-            self.batch_occupancy.append(n)
+            try:
+                self.rng, key = self._jax.random.split(self.rng)
+                _, image_out = self.forward(self.params, self.aux, images,
+                                            classes, key)
+            except Exception as e:  # immediate (trace/shape) failure
+                self._fail(batch, e)
+                continue
+            self._inflight.put((batch, image_out))  # backpressure at depth
+
+    def _sync_loop(self):
+        while not self._stop.is_set():
+            try:
+                batch, image_out = self._inflight.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                arr = np.asarray(image_out)  # blocks until device done
+                for i, (_, _, out) in enumerate(batch):
+                    out.put(arr[i])
+            except Exception as e:  # deferred device-side failure
+                self._fail(batch, e)
+                continue
+            finally:
+                self.n_batches += 1
+                self.n_requests += len(batch)
+                self.batch_occupancy.append(len(batch))
+
+    def healthy(self) -> bool:
+        return self.thread.is_alive() and self.sync_thread.is_alive()
 
     def stop(self):
         self._stop.set()
         self.thread.join(timeout=5)
+        self.sync_thread.join(timeout=5)
 
     def stats(self):
         occ = self.batch_occupancy[-100:]
         return {
             'requests': self.n_requests,
             'batches': self.n_batches,
+            'errors': self.n_errors,
             'mean_recent_occupancy': (float(np.mean(occ)) if occ else 0.0),
             'max_batch': self.max_batch,
+            'depth': self.depth,
         }
 
 
@@ -147,8 +202,9 @@ def make_server(config, batcher: Batcher, port: int = 8000,
 
         def do_GET(self):
             if self.path.startswith('/healthz'):
-                body = json.dumps({'ok': True, **batcher.stats()}).encode()
-                self.send_response(200)
+                ok = batcher.healthy()
+                body = json.dumps({'ok': ok, **batcher.stats()}).encode()
+                self.send_response(200 if ok else 503)
                 self.send_header('Content-Type', 'application/json')
                 self.send_header('Content-Length', str(len(body)))
                 self.end_headers()
@@ -161,24 +217,50 @@ def make_server(config, batcher: Batcher, port: int = 8000,
                 self.send_error(404)
                 return
             try:
-                class_id = 0
+                class_id, raw = 0, False
                 if '?' in self.path:
                     for kv in self.path.split('?', 1)[1].split('&'):
                         k, _, v = kv.partition('=')
                         if k == 'class_id':
                             class_id = int(v)
+                        elif k == 'raw':
+                            raw = v not in ('', '0', 'false')
                 if not 0 <= class_id < (batcher.num_classes or 1):
                     raise ValueError(f'class_id {class_id} out of range')
                 length = int(self.headers.get('Content-Length', 0))
-                image = _decode_request(self.rfile.read(length), input_hw)
+                body = self.rfile.read(length)
+                if raw:
+                    # raw tensor mode: body is float32 little-endian
+                    # [H, W, 3] pair layout in [-1, 1]; skips the PNG
+                    # codec for throughput-critical clients
+                    h, w = input_hw
+                    image = np.frombuffer(body, '<f4')
+                    if image.size != h * w * 3:
+                        raise ValueError(
+                            f'raw body must be {h}x{w}x3 float32')
+                    image = image.reshape(h, w, 3)
+                else:
+                    image = _decode_request(body, input_hw)
             except Exception as e:  # bad request
                 self.send_error(400, str(e))
                 return
             out = batcher.submit(image, class_id)
-            photo = out.get(timeout=60)
-            body = _encode_png(photo)
+            try:
+                photo = out.get(timeout=60)
+            except queue.Empty:
+                self.send_error(503, 'inference timed out')
+                return
+            if isinstance(photo, Exception):
+                self.send_error(503, f'inference failed: {photo!r}')
+                return
+            if raw:
+                body = np.ascontiguousarray(photo, '<f4').tobytes()
+                ctype = 'application/octet-stream'
+            else:
+                body = _encode_png(photo)
+                ctype = 'image/png'
             self.send_response(200)
-            self.send_header('Content-Type', 'image/png')
+            self.send_header('Content-Type', ctype)
             self.send_header('Content-Length', str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -203,6 +285,8 @@ def main(argv=None):
     parser.add_argument('--host', type=str, default='127.0.0.1')
     parser.add_argument('--serve_batch', type=int, default=16)
     parser.add_argument('--max_wait_ms', type=float, default=5.0)
+    parser.add_argument('--serve_depth', type=int, default=2,
+                        help='device batches kept in flight')
     args = parser.parse_args(argv)
     config = config_from_args(args).derive('test')
     enable_compilation_cache()
@@ -219,7 +303,7 @@ def main(argv=None):
     batcher = Batcher(forward, params, aux,
                       (config.output_height, config.output_width),
                       config.num_classes, max_batch=args.serve_batch,
-                      max_wait_ms=args.max_wait_ms)
+                      max_wait_ms=args.max_wait_ms, depth=args.serve_depth)
     # warm the jit cache before accepting traffic
     warm = batcher.submit(
         np.zeros((config.output_height, config.output_width, 3),
