@@ -110,26 +110,11 @@ def main(argv=None):
     rng = jax.random.PRNGKey(6666)  # reference test.py:15 seeds TF with 6666
     half_w = int(config.output_width / 2)
 
-    for idx in range(len(dataset)):
-        batch_images, filenames = dataset[idx]
-        if config.multiclasses:
-            # static batch shape: masked rows get a placeholder class,
-            # are computed, and dropped before saving — the jitted
-            # forward compiles once per batch size
-            batch_classes, mask = classes_padded(filenames,
-                                                 config.num_classes)
-            if not mask.any():
-                continue
-        else:
-            batch_classes = np.zeros((batch_images.shape[0],), np.int32)
-            mask = np.ones((batch_images.shape[0],), bool)
-
-        edge_out, image_out = forward(
-            params, aux, batch_images, batch_classes,
-            jax.random.fold_in(rng, idx))
+    def _save_batch(batch_images, filenames, mask, edge_out, image_out):
+        """Sync a dispatched forward and write its output files."""
         batch_images = batch_images[mask]
         filenames = [f for f, m in zip(filenames, mask) if m]
-        outputL = np.array(edge_out)[mask]
+        outputL = np.array(edge_out)[mask]   # blocks until device done
         outputR = np.array(image_out)[mask]
         inputL = batch_images[:, :, :half_w, :]
 
@@ -148,7 +133,52 @@ def main(argv=None):
                                     config.dataset, name)
             makedirs(os.path.dirname(out_path))
             save_images(img[np.newaxis, ...], [1, 1], out_path)
-        print('Test: [%4d/%4d]' % (idx, len(dataset)))
+
+    # Pipelined inference: decode prefetches on a thread pool, and the
+    # forward for batch i+1 is DISPATCHED before batch i's outputs are
+    # pulled (jax async dispatch keeps >=2 batches in flight), so
+    # neither the host decode nor the per-dispatch tunnel latency
+    # (~28 ms on this backend) serialises with device compute. The
+    # reference runs 2 sequential sess.runs per file
+    # (models/edgegan.py:591-609).
+    import time
+
+    from ..data import PrefetchLoader
+    loader = PrefetchLoader(dataset, prefetch=config.prefetch)
+    pending = None
+    n_done = 0
+    t0 = time.perf_counter()
+    try:
+        for idx, (batch_images, filenames) in enumerate(loader):
+            if config.multiclasses:
+                # static batch shape: masked rows get a placeholder
+                # class, are computed, and dropped before saving — the
+                # jitted forward compiles once per batch size
+                batch_classes, mask = classes_padded(filenames,
+                                                     config.num_classes)
+                if not mask.any():
+                    continue
+            else:
+                batch_classes = np.zeros((batch_images.shape[0],),
+                                         np.int32)
+                mask = np.ones((batch_images.shape[0],), bool)
+
+            edge_out, image_out = forward(
+                params, aux, batch_images, batch_classes,
+                jax.random.fold_in(rng, idx))
+            if pending is not None:
+                _save_batch(*pending)
+            pending = (batch_images, filenames, mask, edge_out, image_out)
+            n_done += int(mask.sum())
+            print('Test: [%4d/%4d]' % (idx, len(dataset)))
+        if pending is not None:
+            _save_batch(*pending)
+    finally:
+        loader.close()
+    if config.test_batch_size and n_done:
+        dt = time.perf_counter() - t0
+        print(f' [*] {n_done} images in {dt:.2f}s = '
+              f'{n_done / dt:.1f} img/s (batched pipelined mode)')
 
 
 if __name__ == '__main__':
