@@ -267,6 +267,12 @@ class PReLU(nn.Module):
         leak = self.param('param',
                           lambda key, shape: jnp.full(shape, 0.2,
                                                       dtype=jnp.float32), ())
+        # Fused one-pass backward on TPU (first-order custom VJP — legal
+        # here: prelu exists only in the classifier, which the gradient
+        # penalty never double-differentiates; see pallas_kernels.prelu).
+        from ..ops import pallas_kernels
+        if x.ndim in (2, 4) and pallas_kernels.should_use():
+            return pallas_kernels.prelu(x, leak)
         return activations.prelu(x, leak.astype(x.dtype))
 
 
@@ -372,17 +378,25 @@ class MRUBlock(nn.Module):
                           shape, 0.5, dtype=jnp.float32),
                       kernel_init=self.kernel_init, activation='lrelu',
                       name='update_gate')(full_inp, update_sn)
-        rg_min = jnp.min(rg, axis=(1, 2), keepdims=True)
-        rg_max = jnp.max(rg, axis=(1, 2), keepdims=True)
-        # spatially-constant gate -> 0/0 NaN in the reference; guard to
-        # a zero gate (identical everywhere the reference is finite)
-        rg_range = rg_max - rg_min
-        rg = (rg - rg_min) / jnp.where(rg_range > 0, rg_range, 1.0)
         # input image conv (reference conv.py:201-206)
         img_new = SNConv2D(hidden_depth, 3, 1, sn=self.sn,
                            kernel_init=self.kernel_init, activation=None,
                            name='img_conv')(inp, update_sn)
-        ht_plus = ht + rg * img_new
+        from ..ops import pallas_kernels
+        if pallas_kernels.should_use():
+            # fused min-max-normalize + blend (one VMEM-resident kernel,
+            # first-order custom VJP — classifier is never on the GP
+            # double-backward path; see pallas_kernels.mru_gate_blend)
+            ht_plus = pallas_kernels.mru_gate_blend(rg, ht, img_new)
+        else:
+            rg_min = jnp.min(rg, axis=(1, 2), keepdims=True)
+            rg_max = jnp.max(rg, axis=(1, 2), keepdims=True)
+            # spatially-constant gate -> 0/0 NaN in the reference; guard
+            # to a zero gate (identical everywhere the reference is
+            # finite)
+            rg_range = rg_max - rg_min
+            rg = (rg - rg_min) / jnp.where(rg_range > 0, rg_range, 1.0)
+            ht_plus = ht + rg * img_new
         ht_new_in = PReLU(name='norm_activation_merge_1_prelu')(ht_plus)
         # two 3x3 convs (reference conv.py:213-224)
         h_new = SNConv2D(self.filter_depth, 3, 1, sn=self.sn,

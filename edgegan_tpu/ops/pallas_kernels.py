@@ -140,3 +140,198 @@ def _in_bwd(activation, interpret, x, g):
 
 
 instance_norm_act.defvjp(_in_fwd, _in_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused PReLU backward (classifier path).
+#
+# The reference's prelu (activation.py:23-27) has a SCALAR learnable
+# leak; its gradient is a full-tensor reduction. XLA schedules that as
+# a separate scalar-output fusion re-reading the activation and
+# cotangent (~13 prelus x 3 classifier invocations = the dominant part
+# of the 12 ms/step of scalar fusions profiled in BASELINE.md). This
+# custom VJP computes dx AND the dleak partial sums in ONE pass over
+# (x, g) — halving the backward HBM traffic for every prelu.
+#
+# FIRST-ORDER ONLY (custom_vjp): legal precisely because prelu appears
+# only in the classifier (reference uses it nowhere else) and the
+# gradient penalty double-differentiates only the three critics
+# (models/edgegan.py:38-42) — never the classifier.
+# ---------------------------------------------------------------------------
+
+
+def _prelu_bwd_kernel(x_ref, g_ref, leak_ref, dx_ref, da_ref):
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    leak = leak_ref[0]
+    u = leak * x
+    # jnp.maximum vjp convention: ties split 0.5/0.5
+    s_u = jnp.where(u > x, 1.0, jnp.where(u == x, 0.5, 0.0))
+    s_v = 1.0 - s_u
+    dx_ref[0] = (g * (s_u * leak + s_v)).astype(dx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        da_ref[0, 0] = 0.0
+    da_ref[0, 0] += jnp.sum(g * s_u * x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def prelu(x, leak, interpret: bool = False):
+    """max(leak*x, x) with a Pallas one-pass fused backward.
+
+    Forward is plain jnp (XLA fuses it into the producing conv);
+    backward is the fused kernel. `leak` is the f32 scalar parameter.
+    """
+    return jnp.maximum(leak.astype(x.dtype) * x, x)
+
+
+def _prelu_fwd(x, leak, interpret):
+    return prelu(x, leak, interpret), (x, leak)
+
+
+def _prelu_bwd(interpret, res, g):
+    x, leak = res
+    shape = x.shape
+    if x.ndim == 4:
+        b, h, w, c = shape
+        x2, g2 = x.reshape(b, h * w, c), g.reshape(b, h * w, c)
+    elif x.ndim == 2:
+        x2, g2 = x[:, None, :], g[:, None, :]
+    else:
+        raise NotImplementedError(shape)
+    b, hw, c = x2.shape
+    spec = pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                        memory_space=pl.ANY if interpret else pltpu.VMEM)
+    da_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                           memory_space=pl.ANY if interpret else pltpu.SMEM)
+    leak_arr = jnp.asarray(leak, jnp.float32).reshape(1)
+    dx, da = pl.pallas_call(
+        _prelu_bwd_kernel,
+        grid=(b,),
+        in_specs=[spec, spec,
+                  pl.BlockSpec(memory_space=pl.ANY if interpret
+                               else pltpu.SMEM)],
+        out_specs=(spec, da_spec),
+        out_shape=(jax.ShapeDtypeStruct(x2.shape, x.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        interpret=interpret,
+    )(x2, g2, leak_arr)
+    return dx.reshape(shape), da[0, 0].astype(jnp.asarray(leak).dtype)
+
+
+prelu.defvjp(_prelu_fwd, _prelu_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused MRU gate chain (classifier path).
+#
+# mru_conv_block_v3's update gate (reference conv.py:190-210) min-max
+# normalizes the gate over space per (batch, channel) and blends the
+# input conv into the hidden state:
+#     rgn = (rg - min) / (max - min);  out = ht + rgn * img
+# XLA schedules the min/max reductions, the equality-mask argmin/argmax
+# gradients, and the blend as separate reduction-heavy fusions — part of
+# the 128-config's profiled scheduling slack (BASELINE.md). This custom
+# VJP runs the whole chain (and its backward, including the tie-split
+# min/max gradients) as one VMEM-resident kernel per batch row.
+#
+# FIRST-ORDER ONLY (custom_vjp): legal because the MRU stack exists only
+# in the classifier, which the gradient penalty never touches
+# (models/edgegan.py:38-42 differentiates D/D_patch2/D_patch3 only).
+# ---------------------------------------------------------------------------
+
+
+def _gate_stats(rg):
+    mn = jnp.min(rg, axis=0, keepdims=True)
+    mx = jnp.max(rg, axis=0, keepdims=True)
+    r = mx - mn
+    pos = r > 0
+    den = jnp.where(pos, r, 1.0)
+    return mn, mx, r, pos, den
+
+
+def _gate_fwd_kernel(rg_ref, ht_ref, img_ref, out_ref):
+    rg = rg_ref[0].astype(jnp.float32)
+    mn, mx, r, pos, den = _gate_stats(rg)
+    rgn = (rg - mn) / den
+    out = ht_ref[0].astype(jnp.float32) + rgn * img_ref[0].astype(
+        jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _gate_bwd_kernel(rg_ref, img_ref, g_ref, drg_ref, dimg_ref):
+    rg = rg_ref[0].astype(jnp.float32)
+    img = img_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    mn, mx, r, pos, den = _gate_stats(rg)
+    rgn = (rg - mn) / den
+    dimg_ref[0] = (g * rgn).astype(dimg_ref.dtype)
+    drgn = g * img
+    # through the normalize: d/dmin and d/dmax totals per channel, then
+    # distributed over ties exactly like jax's reduce_min/max VJP
+    # (cotangent split evenly among tied extrema)
+    r2 = jnp.where(pos, r * r, 1.0)
+    dmn_tot = jnp.where(
+        pos,
+        jnp.sum(drgn * (rg - mx), axis=0, keepdims=True) / r2,
+        -jnp.sum(drgn, axis=0, keepdims=True))
+    dmx_tot = jnp.where(
+        pos,
+        -jnp.sum(drgn * rgn, axis=0, keepdims=True) / den,
+        0.0)
+    ismin = (rg == mn).astype(jnp.float32)
+    ismax = (rg == mx).astype(jnp.float32)
+    nmin = jnp.sum(ismin, axis=0, keepdims=True)
+    nmax = jnp.sum(ismax, axis=0, keepdims=True)
+    drg = (drgn / den + ismin * (dmn_tot / nmin)
+           + ismax * (dmx_tot / nmax))
+    drg_ref[0] = drg.astype(drg_ref.dtype)
+
+
+def _gate_specs(shape, interpret):
+    b, hw, c = shape
+    return pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                        memory_space=pl.ANY if interpret else pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def mru_gate_blend(rg, ht, img, interpret: bool = False):
+    """ht + minmax_normalize(rg) * img, fused (NHWC, Pallas)."""
+    b, h, w, c = rg.shape
+    shape = (b, h * w, c)
+    spec = _gate_specs(shape, interpret)
+    out = pl.pallas_call(
+        _gate_fwd_kernel,
+        grid=(b,),
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(shape, rg.dtype),
+        interpret=interpret,
+    )(rg.reshape(shape), ht.reshape(shape), img.reshape(shape))
+    return out.reshape(rg.shape)
+
+
+def _gate_fwd(rg, ht, img, interpret):
+    return mru_gate_blend(rg, ht, img, interpret), (rg, img)
+
+
+def _gate_bwd(interpret, res, g):
+    rg, img = res
+    b, h, w, c = rg.shape
+    shape = (b, h * w, c)
+    spec = _gate_specs(shape, interpret)
+    drg, dimg = pl.pallas_call(
+        _gate_bwd_kernel,
+        grid=(b,),
+        in_specs=[spec] * 3,
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct(shape, rg.dtype),
+                   jax.ShapeDtypeStruct(shape, img.dtype)),
+        interpret=interpret,
+    )(rg.reshape(shape), img.reshape(shape), g.reshape(shape))
+    # dht == g exactly (out = ht + ...): no kernel needed
+    return drg.reshape(rg.shape), g, dimg.reshape(img.shape)
+
+
+mru_gate_blend.defvjp(_gate_fwd, _gate_bwd)
