@@ -239,6 +239,54 @@ def import_tf_npz(npz_path: str, config) -> Tuple[Dict, Dict]:
     return params, aux
 
 
+def _get_path(tree, path: Tuple[str, ...]):
+    node = tree
+    for k in path:
+        node = node[k]
+    return node
+
+
+def _unsqueeze_bias(x):
+    return x.reshape(1, -1, 1, 1)  # (C,) -> TF conv2d2's NCHW bias
+
+
+_INVERSE_FIX = {_squeeze_bias: _unsqueeze_bias}
+
+
+def export_tf_npz(params, aux, config, npz_path: str):
+    """Inverse of import_tf_npz: our (params, aux) trees -> a TF-named
+    npz (the exact variable-name/layout set a real TF checkpoint dump
+    contains, minus optimizer slots).
+
+    Exists so the name mapping can be round-tripped mechanically
+    (export -> import -> bit-compare, tests/test_convert.py) and so a
+    trained edgegan_tpu model can be handed back to the reference
+    implementation. Returns the sorted TF variable-name list.
+    """
+    p_rules, a_rules = param_rules(config)
+    out = {}
+    for ours, theirs, fix in p_rules:
+        arr = np.asarray(_get_path(params, ours), np.float32)
+        inv = _INVERSE_FIX.get(fix)
+        out[theirs] = inv(arr) if inv else arr
+    for ours, theirs, fix in a_rules:
+        collection = 'spectral' if ours[-1] == 'u' else 'batch_stats'
+        arr = np.asarray(
+            _get_path(aux, (ours[0], collection) + ours[1:]), np.float32)
+        inv = _INVERSE_FIX.get(fix)
+        out[theirs] = inv(arr) if inv else arr
+    np.savez(npz_path, **out)
+    return sorted(out)
+
+
+def tf_variable_names(config) -> list:
+    """Every TF variable name the mapping expects, sorted — diffable in
+    seconds against `tf.train.list_variables` of the real checkpoint
+    (fixture: tests/fixtures/tf_variable_names_14class.txt)."""
+    p_rules, a_rules = param_rules(config)
+    return sorted(tf for _, tf, _ in p_rules + a_rules)
+
+
 def check_against(params_tree, aux_tree, config):
     """Compare an imported tree against a freshly-initialised one;
     returns a list of (path, problem) mismatches (empty = compatible)."""

@@ -95,7 +95,7 @@ def cmd_compare(args):
     print('PARITY PASS' if worst <= 1.0 and not missing else 'PARITY FAIL')
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest='cmd', required=True)
     pi = sub.add_parser('import')
@@ -105,7 +105,7 @@ def main():
     pc = sub.add_parser('compare')
     pc.add_argument('--ours', required=True)
     pc.add_argument('--golden', required=True)
-    args = p.parse_args()
+    args = p.parse_args(argv)
     {'import': cmd_import, 'compare': cmd_compare}[args.cmd](args)
 
 

@@ -79,6 +79,43 @@ def test_import_roundtrip(tmp_path, full_config, ref_trees):
     assert not problems, problems[:8]
 
 
+def test_export_import_bit_roundtrip(tmp_path, full_config, ref_trees):
+    """Our params -> TF-named npz (export_tf_npz) -> import_tf_npz must
+    reproduce every leaf BIT-EXACTLY. This mechanically round-trips the
+    whole name mapping, so any internally inconsistent rule (wrong
+    path on either side, wrong bias reshape) fails here instead of
+    failing silently on the real checkpoint (VERDICT r2 #5)."""
+    ref_params, ref_aux = ref_trees
+    npz = str(tmp_path / 'export.npz')
+    names = convert.export_tf_npz(ref_params, ref_aux, full_config, npz)
+    assert names == convert.tf_variable_names(full_config)
+    params, aux = convert.import_tf_npz(npz, full_config)
+    assert not convert.check_against(params, aux, full_config)
+
+    def assert_equal(a, b, path):
+        if hasattr(a, 'items'):
+            assert set(a) == set(b), (path, set(a) ^ set(b))
+            for k in a:
+                assert_equal(a[k], b[k], path + (k,))
+        else:
+            np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                          np.asarray(b), err_msg=str(path))
+
+    assert_equal(ref_params, params, ())
+    assert_equal(ref_aux, aux, ())
+
+
+def test_tf_variable_name_fixture_current(full_config):
+    """The committed reviewable name list (one per line) must match the
+    mapping — a human with TF access can diff it against
+    `tf.train.list_variables` of the released checkpoint in seconds."""
+    import os
+    fixture = os.path.join(os.path.dirname(__file__), 'fixtures',
+                           'tf_variable_names_14class.txt')
+    on_disk = open(fixture).read().splitlines()
+    assert on_disk == convert.tf_variable_names(full_config)
+
+
 def test_missing_variable_raises(tmp_path, full_config, ref_trees):
     ref_params, ref_aux = ref_trees
     npz = synth_npz(tmp_path, full_config, ref_params, ref_aux)
