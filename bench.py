@@ -163,6 +163,80 @@ def main(dtype: str = 'float32', update_mode: str = 'faithful',
     }))
 
 
+def main_realdata(dtype: str = 'bfloat16', n_files: int = 2048):
+    """Full-config steps/sec WITH the real input pipeline in the loop
+    (VERDICT r2 #7): PNG decode -> bytescale transform -> async
+    PrefetchLoader -> device, using the reference's own example pairs
+    staged by repetition. Epoch 0 decodes cold; epoch 1 hits the RAM
+    cache — the steady state of a real training run. Compare with the
+    constant-batch number to see what the loader fails to hide."""
+    import glob
+    import os
+    import shutil
+
+    import jax
+    from edgegan_tpu.core.config import Config, enable_compilation_cache
+    enable_compilation_cache()
+    from edgegan_tpu.data import Dataset, PrefetchLoader
+    from edgegan_tpu.train import (Networks, create_train_state,
+                                   make_train_step)
+
+    src = sorted(glob.glob(
+        '/root/reference/images/dataset_example/train/*.png'))
+    root = '/tmp/edgegan_benchdata'
+    shutil.rmtree(root, ignore_errors=True)
+    for i in range(n_files):
+        d = os.path.join(root, 'realbench', 'train', str(i % 3))
+        os.makedirs(d, exist_ok=True)
+        os.symlink(src[i % len(src)], os.path.join(d, f'{i:05d}.png'))
+
+    config = Config(dtype=dtype).derive('train')
+    nets = Networks(config)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               config.learning_rate)
+    step = jax.jit(make_train_step(nets, config), donate_argnums=(0,))
+    dataset = Dataset(root, 'realbench', float('inf'), config.batch_size,
+                      {'input_height': config.input_height,
+                       'input_width': config.input_width,
+                       'output_height': config.output_height,
+                       'output_width': config.output_width,
+                       'crop': False, 'grayscale': False,
+                       'z_dim': config.z_dim},
+                      config.num_classes, 'train', cache=True)
+    rng = jax.random.PRNGKey(3)
+    loader = PrefetchLoader(dataset, prefetch=config.prefetch)
+
+    # compile on the first real batch
+    images0, z0, _ = dataset[0]
+    state, _ = step(state, images0, z0, jax.random.fold_in(rng, 0))
+    _force_completion(state.params['G1'])
+
+    epoch_rates = []
+    counter = 1
+    for epoch in range(2):  # 0 = cold decode, 1 = RAM-cache steady state
+        t0 = time.perf_counter()
+        n = 0
+        for images, z, _files in loader:
+            state, _ = step(state, images, z,
+                            jax.random.fold_in(rng, counter))
+            counter += 1
+            n += 1
+        _force_completion(state.params['G1'])
+        epoch_rates.append(n / (time.perf_counter() - t0))
+    loader.close()
+    shutil.rmtree(root, ignore_errors=True)
+    size = f'{config.output_height}x{config.output_width}'
+    print(json.dumps({
+        'metric': f'train_steps_per_sec_b64_{size}_multiclass_{dtype}'
+                  '_real_input_pipeline',
+        'value': round(epoch_rates[1], 4),
+        'unit': 'steps/s',
+        'vs_baseline': round(epoch_rates[1] / REFERENCE_STEPS_PER_SEC, 2),
+        'cold_decode_epoch_steps_per_sec': round(epoch_rates[0], 4),
+        'n_files': n_files,
+    }))
+
+
 if __name__ == '__main__':
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == 'inference':
@@ -179,6 +253,8 @@ if __name__ == '__main__':
         main(dtype='bfloat16', hires=True)
     elif len(sys.argv) > 1 and sys.argv[1] == 'f32':
         main()
+    elif len(sys.argv) > 1 and sys.argv[1] == 'realdata':
+        main_realdata()
     else:
         # default: bf16 faithful — identical 7-group update semantics,
         # mixed precision (f32 master params/loss reductions, bf16

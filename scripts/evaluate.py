@@ -38,9 +38,12 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser('edgegan_tpu.evaluate')
     add_config_args(parser, 'test')
-    parser.add_argument('--split', default='train', choices=['train'],
-                        help='train split only: it has the full '
-                             'sketch|photo pairs the metrics need')
+    parser.add_argument('--split', default='train',
+                        help='any split directory under '
+                             'dataroot/dataset/ laid out like the train '
+                             'split (class dirs of sketch|photo pairs) '
+                             '— e.g. a paired test split for held-out '
+                             'evaluation')
     parser.add_argument('--limit', type=int, default=512,
                         help='max images to evaluate')
     parser.add_argument('--eval_batch', type=int, default=32)
@@ -71,7 +74,8 @@ def main(argv=None):
     }
     b = args.eval_batch
     dataset = Dataset(config.dataroot, config.dataset, args.limit, b,
-                      dataset_config, config.num_classes, args.split)
+                      dataset_config, config.num_classes, 'train',
+                      subdir=args.split)
 
     forward = make_test_forward(nets, config)
     half_w = int(config.output_width / 2)
@@ -93,6 +97,7 @@ def main(argv=None):
     recon = reconstruction_metrics(reals, fakes)
     print(json.dumps({
         'checkpoint_step': counter,
+        'split': args.split,
         'n_images': int(len(fakes)),
         'classifier_fid': round(float(fid_like), 4),
         'note': 'classifier-feature FID: relative tracking only, not '
