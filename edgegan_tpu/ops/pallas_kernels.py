@@ -161,19 +161,39 @@ instance_norm_act.defvjp(_in_fwd, _in_bwd)
 
 
 def _prelu_bwd_kernel(x_ref, g_ref, leak_ref, dx_ref, da_ref):
-    x = x_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
+    x = x_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
     leak = leak_ref[0]
     u = leak * x
     # jnp.maximum vjp convention: ties split 0.5/0.5
     s_u = jnp.where(u > x, 1.0, jnp.where(u == x, 0.5, 0.0))
     s_v = 1.0 - s_u
-    dx_ref[0] = (g * (s_u * leak + s_v)).astype(dx_ref.dtype)
+    dx_ref[...] = (g * (s_u * leak + s_v)).astype(dx_ref.dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         da_ref[0, 0] = 0.0
     da_ref[0, 0] += jnp.sum(g * s_u * x)
+
+
+def _row_chunk(m: int, cap: int = 2048) -> int:
+    """Largest power-of-two divisor of m, capped."""
+    r = 1
+    while m % 2 == 0 and r < cap:
+        m //= 2
+        r *= 2
+    return r
+
+
+def prelu_eligible(shape, dtype) -> bool:
+    """The fused backward streams the tensor as (rows, 128) lane-packed
+    blocks — element count must factor into full 128-lane rows with a
+    sublane-aligned chunk (otherwise Mosaic pads lanes up to 16x, the
+    VMEM blowup that OOMed the 64x128 config's 8-channel stem)."""
+    n = 1
+    for d in shape:
+        n *= int(d)
+    return n % 128 == 0 and _row_chunk(n // 128) >= 8
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -182,6 +202,7 @@ def prelu(x, leak, interpret: bool = False):
 
     Forward is plain jnp (XLA fuses it into the producing conv);
     backward is the fused kernel. `leak` is the f32 scalar parameter.
+    Caller must check prelu_eligible(x.shape, x.dtype) first.
     """
     return jnp.maximum(leak.astype(x.dtype) * x, x)
 
@@ -193,27 +214,27 @@ def _prelu_fwd(x, leak, interpret):
 def _prelu_bwd(interpret, res, g):
     x, leak = res
     shape = x.shape
-    if x.ndim == 4:
-        b, h, w, c = shape
-        x2, g2 = x.reshape(b, h * w, c), g.reshape(b, h * w, c)
-    elif x.ndim == 2:
-        x2, g2 = x[:, None, :], g[:, None, :]
-    else:
-        raise NotImplementedError(shape)
-    b, hw, c = x2.shape
-    spec = pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+    n = x.size
+    # lane-packed layout: prelu is elementwise and the leak grad is a
+    # global sum, so channel structure is irrelevant — stream (R, 128)
+    # blocks at full lane occupancy regardless of the channel count
+    m = n // 128
+    rows = _row_chunk(m)
+    x2 = x.reshape(m, 128)
+    g2 = g.reshape(m, 128)
+    spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                         memory_space=pl.ANY if interpret else pltpu.VMEM)
     da_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                            memory_space=pl.ANY if interpret else pltpu.SMEM)
     leak_arr = jnp.asarray(leak, jnp.float32).reshape(1)
     dx, da = pl.pallas_call(
         _prelu_bwd_kernel,
-        grid=(b,),
+        grid=(m // rows,),
         in_specs=[spec, spec,
                   pl.BlockSpec(memory_space=pl.ANY if interpret
                                else pltpu.SMEM)],
         out_specs=(spec, da_spec),
-        out_shape=(jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        out_shape=(jax.ShapeDtypeStruct((m, 128), x.dtype),
                    jax.ShapeDtypeStruct((1, 1), jnp.float32)),
         interpret=interpret,
     )(x2, g2, leak_arr)
@@ -293,6 +314,21 @@ def _gate_specs(shape, interpret):
     b, hw, c = shape
     return pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
                         memory_space=pl.ANY if interpret else pltpu.VMEM)
+
+
+def gate_eligible(shape, dtype) -> bool:
+    """Use the fused gate only where its per-batch-row (hw, c) blocks
+    are lane-aligned and fit scoped VMEM. Channels off the 128-lane
+    grid pad up to 16x (the VMEM OOM that killed the 64x128-config
+    compile at the classifier's 8-channel first unit); the backward
+    keeps 5 tensors x 2 pipeline buffers resident."""
+    b, h, w, c = shape
+    if c % 128 != 0:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    sub = 8 if itemsize >= 4 else 16
+    hw_pad = -(-(h * w) // sub) * sub
+    return 10 * hw_pad * c * itemsize <= 14 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -35,6 +35,23 @@ def test_backward_matches_autodiff(activation):
     np.testing.assert_allclose(g_pal, g_ref, atol=1e-4, rtol=1e-4)
 
 
+def test_kernel_eligibility_guards():
+    """VMEM-safety guards: off-lane-grid channels and oversized blocks
+    must fall back to jnp (regression: the 8-channel MRU unit's padded
+    blocks OOMed scoped VMEM at the full config)."""
+    from edgegan_tpu.ops.pallas_kernels import gate_eligible, prelu_eligible
+
+    # gate: channel dim must sit on the 128-lane grid
+    assert not gate_eligible((64, 128, 128, 8), jnp.float32)
+    assert gate_eligible((64, 32, 32, 128), jnp.float32)
+    # gate: f32 128-config unit-2 blocks (4096x128x4B x10) exceed VMEM
+    assert not gate_eligible((64, 64, 64, 128), jnp.float32)
+    assert gate_eligible((64, 64, 64, 128), jnp.bfloat16)
+    # prelu: element count must pack into full 128-lane rows
+    assert not prelu_eligible((3, 5, 5, 3), jnp.float32)
+    assert prelu_eligible((64, 128, 128, 8), jnp.float32)
+
+
 def _gate_ref(rg, ht, img):
     """The jnp MRU gate chain (models/layers.py fallback path)."""
     rg_min = jnp.min(rg, axis=(1, 2), keepdims=True)
@@ -126,7 +143,7 @@ def test_prelu_fused_backward_matches_autodiff(ndim):
     from edgegan_tpu.ops.pallas_kernels import prelu as pallas_prelu
 
     rng = np.random.RandomState(2)
-    shape = (2, 4, 4, 8) if ndim == 4 else (6, 16)
+    shape = (2, 4, 4, 8) if ndim == 4 else (8, 16)
     x = jnp.asarray(rng.randn(*shape), jnp.float32)
     x = x.at[(0,) * ndim].set(0.0)  # exercise the tie-split convention
     leak = jnp.float32(0.2)
