@@ -203,11 +203,16 @@ def main_realdata(dtype: str = 'bfloat16', n_files: int = 2048):
                        'crop': False, 'grayscale': False,
                        'z_dim': config.z_dim},
                       config.num_classes, 'train', cache=True)
+    import jax.numpy as jnp
+    img_dt = jnp.bfloat16 if dtype == 'bfloat16' else None
     rng = jax.random.PRNGKey(3)
-    loader = PrefetchLoader(dataset, prefetch=config.prefetch)
+    loader = PrefetchLoader(dataset, prefetch=config.prefetch,
+                            image_dtype=img_dt)
 
     # compile on the first real batch
     images0, z0, _ = dataset[0]
+    if img_dt is not None:
+        images0 = images0.astype(img_dt)
     state, _ = step(state, images0, z0, jax.random.fold_in(rng, 0))
     _force_completion(state.params['G1'])
 

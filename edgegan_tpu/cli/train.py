@@ -96,10 +96,12 @@ def main(argv=None):
         # ~30 s for the peer (see parallel.barrier).
         zdim = config.z_dim + (1 if config.multiclasses else 0)
         local_b = config.batch_size // nproc
+        img_dt = (jax.numpy.bfloat16 if config.dtype == 'bfloat16'
+                  else np.float32)
         di, dz = put_global(
             data_sharding,
             np.zeros((local_b, config.output_height, config.output_width,
-                      3), np.float32),
+                      3), img_dt),
             np.zeros((local_b, zdim), np.float32))
         dkey = jax.device_put(jax.random.fold_in(rng, 0), replicated(mesh))
         train_step = train_step.lower(state, di, dz, dkey).compile()
@@ -147,8 +149,13 @@ def main(argv=None):
     # iteration submits fresh decode futures against the reshuffled
     # dataset. (A per-epoch pool with shutdown(wait=False) leaks worker
     # threads briefly every epoch.)
-    loader = PrefetchLoader(dataset, prefetch=config.prefetch,
-                            sharding=data_sharding)
+    # bf16 training transfers bf16 batches: the step casts inputs to
+    # bf16 anyway, and host->device bytes are the input pipeline's real
+    # cost on this backend (BASELINE.md round 3)
+    loader = PrefetchLoader(
+        dataset, prefetch=config.prefetch, sharding=data_sharding,
+        image_dtype=(jax.numpy.bfloat16
+                     if config.dtype == 'bfloat16' else None))
     for epoch in range(config.epoch):
         if stop_requested:
             break

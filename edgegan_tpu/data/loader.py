@@ -16,11 +16,25 @@ import jax
 
 class PrefetchLoader:
     def __init__(self, dataset, prefetch: int = 2,
-                 sharding: Optional[object] = None, num_workers: int = 8):
+                 sharding: Optional[object] = None, num_workers: int = 8,
+                 image_dtype: Optional[object] = None):
+        """`image_dtype`: cast the image batch (item element 0) on the
+        host before the device transfer. Used by bf16 training: the
+        jitted step casts inputs to bf16 anyway (round-to-nearest both
+        ways, numerically identical), and halving the bytes matters —
+        on this remote-TPU tunnel the per-step host->device transfer,
+        not decode, dominates the real-input-pipeline cost."""
         self.dataset = dataset
         self.prefetch = max(1, prefetch)
         self.sharding = sharding
+        self.image_dtype = image_dtype
         self.pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+
+    def _fetch(self, idx):
+        item = self.dataset[idx]
+        if self.image_dtype is not None:
+            item = (item[0].astype(self.image_dtype),) + tuple(item[1:])
+        return item
 
     def _put(self, item):
         if self.sharding is None:
@@ -45,13 +59,12 @@ class PrefetchLoader:
         futures = {}
         depth = min(self.prefetch, n)
         for i in range(depth):
-            futures[i] = self.pool.submit(self.dataset.__getitem__, i)
+            futures[i] = self.pool.submit(self._fetch, i)
         for i in range(n):
             item = futures.pop(i).result()
             nxt = i + depth
             if nxt < n:
-                futures[nxt] = self.pool.submit(
-                    self.dataset.__getitem__, nxt)
+                futures[nxt] = self.pool.submit(self._fetch, nxt)
             yield self._put(item)
 
     def close(self):

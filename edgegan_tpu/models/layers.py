@@ -271,7 +271,7 @@ class PReLU(nn.Module):
         # here: prelu exists only in the classifier, which the gradient
         # penalty never double-differentiates; see pallas_kernels.prelu).
         from ..ops import pallas_kernels
-        if (pallas_kernels.should_use()
+        if (pallas_kernels.prelu_enabled()
                 and pallas_kernels.prelu_eligible(x.shape, x.dtype)):
             return pallas_kernels.prelu(x, leak)
         return activations.prelu(x, leak.astype(x.dtype))
@@ -384,7 +384,7 @@ class MRUBlock(nn.Module):
                            kernel_init=self.kernel_init, activation=None,
                            name='img_conv')(inp, update_sn)
         from ..ops import pallas_kernels
-        if (pallas_kernels.should_use()
+        if (pallas_kernels.gate_enabled()
                 and pallas_kernels.gate_eligible(rg.shape, rg.dtype)):
             # fused min-max-normalize + blend (one VMEM-resident kernel,
             # first-order custom VJP — classifier is never on the GP

@@ -48,6 +48,31 @@ def should_use() -> bool:
     return _ENABLED
 
 
+def _flag(name: str, default: bool) -> bool:
+    import os
+    env = os.environ.get(name)
+    if env is None:
+        return default
+    return env not in ('0', 'false', '')
+
+
+@functools.lru_cache(None)
+def prelu_enabled() -> bool:
+    """Fused prelu backward (EDGEGAN_PALLAS_PRELU=0/1). A custom_vjp is
+    a fusion barrier — whether the saved reduction pass beats the lost
+    fusion is an empirical question; default set by the BASELINE.md
+    round-3 ablation."""
+    return should_use() and _flag('EDGEGAN_PALLAS_PRELU', False)
+
+
+@functools.lru_cache(None)
+def gate_enabled() -> bool:
+    """Fused MRU gate chain (EDGEGAN_PALLAS_GATE=0/1) — same
+    fusion-barrier trade-off as prelu_enabled(); default set by the
+    BASELINE.md round-3 ablation."""
+    return should_use() and _flag('EDGEGAN_PALLAS_GATE', False)
+
+
 def _act_fwd(y, activation):
     if activation is None:
         return y

@@ -116,3 +116,19 @@ class TestPrefetchLoader:
         loaded = [files for _, _, files in loader]
         assert direct == loaded
         loader.close()
+
+    def test_image_dtype_cast(self, dataroot):
+        """bf16 training transfers bf16 image batches: values must be
+        identical to casting the f32 batch (the step casts anyway)."""
+        import jax.numpy as jnp
+        ds = Dataset(dataroot, 'ds', float('inf'), 4, CFG, 3, 'train')
+        ref = ds[0]
+        loader = PrefetchLoader(ds, prefetch=2, image_dtype=jnp.bfloat16)
+        images, z, files = next(iter(loader))
+        loader.close()
+        assert images.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(images, np.float32),
+            np.asarray(ref[0].astype(jnp.bfloat16), np.float32))
+        assert z.dtype == np.float32  # only element 0 is cast
+        assert files == ref[2]
