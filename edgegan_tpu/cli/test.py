@@ -91,8 +91,11 @@ def main(argv=None):
     # batch 1 for reference parity (test.py:89); --test_batch_size N
     # opts into batched throughput inference over the same path
     batch = config.test_batch_size or 1
+    # Batched mode pads the final partial batch (PAD-sentinel rows,
+    # masked before saving) instead of Q10-dropping those files.
     dataset = Dataset(config.dataroot, config.dataset, config.train_size,
-                      batch, dataset_config, None, 'test')
+                      batch, dataset_config, None, 'test',
+                      pad_tail=bool(config.test_batch_size))
 
     nets = Networks(config)
     # Restore raw (no target): like the reference test graph, only the
@@ -114,8 +117,10 @@ def main(argv=None):
         """Sync a dispatched forward and write its output files."""
         batch_images = batch_images[mask]
         filenames = [f for f, m in zip(filenames, mask) if m]
-        outputL = np.array(edge_out)[mask]   # blocks until device done
-        outputR = np.array(image_out)[mask]
+        # blocks until device done; transfer rides the device dtype
+        # (bf16 in bf16 mode), composition happens in f32
+        outputL = np.asarray(np.array(edge_out)[mask], np.float32)
+        outputR = np.asarray(np.array(image_out)[mask], np.float32)
         inputL = batch_images[:, :, :half_w, :]
 
         if config.output_combination == 'inputL_outputR':
@@ -132,7 +137,11 @@ def main(argv=None):
             out_path = os.path.join(config.test_output_dir,
                                     config.dataset, name)
             makedirs(os.path.dirname(out_path))
-            save_images(img[np.newaxis, ...], [1, 1], out_path)
+            if save_pool is not None:  # batched mode: overlap PNG
+                save_futures.append(save_pool.submit(  # encode w/ device
+                    save_images, img[np.newaxis, ...], [1, 1], out_path))
+            else:
+                save_images(img[np.newaxis, ...], [1, 1], out_path)
 
     # Pipelined inference: decode prefetches on a thread pool, and the
     # forward for batch i+1 is DISPATCHED before batch i's outputs are
@@ -142,29 +151,46 @@ def main(argv=None):
     # reference runs 2 sequential sess.runs per file
     # (models/edgegan.py:591-609).
     import time
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..data import PrefetchLoader
     loader = PrefetchLoader(dataset, prefetch=config.prefetch)
+    # batched mode writes PNGs on a pool (PIL's zlib compress releases
+    # the GIL); batch-1 parity mode keeps the reference's serial writes
+    save_pool = (ThreadPoolExecutor(max_workers=8)
+                 if config.test_batch_size else None)
+    save_futures = []
     pending = None
     n_done = 0
     t0 = time.perf_counter()
     try:
         for idx, (batch_images, filenames) in enumerate(loader):
+            # tail-batch PAD rows are computed (static shapes) but
+            # never saved; classes_of also masks them via IndexError
+            not_pad = np.array([f != Dataset.PAD for f in filenames],
+                               bool)
             if config.multiclasses:
                 # static batch shape: masked rows get a placeholder
                 # class, are computed, and dropped before saving — the
                 # jitted forward compiles once per batch size
                 batch_classes, mask = classes_padded(filenames,
                                                      config.num_classes)
+                mask &= not_pad
                 if not mask.any():
                     continue
             else:
                 batch_classes = np.zeros((batch_images.shape[0],),
                                          np.int32)
-                mask = np.ones((batch_images.shape[0],), bool)
+                mask = not_pad
 
+            # bf16 halves the per-batch tunnel transfer (the jitted
+            # forward casts to bf16 anyway when config.dtype is bf16);
+            # the f32 original still backs the saved input panel
+            dev_images = (batch_images.astype(jax.numpy.bfloat16)
+                          if config.test_batch_size
+                          and config.dtype == 'bfloat16' else batch_images)
             edge_out, image_out = forward(
-                params, aux, batch_images, batch_classes,
+                params, aux, dev_images, batch_classes,
                 jax.random.fold_in(rng, idx))
             if pending is not None:
                 _save_batch(*pending)
@@ -173,8 +199,12 @@ def main(argv=None):
             print('Test: [%4d/%4d]' % (idx, len(dataset)))
         if pending is not None:
             _save_batch(*pending)
+        for fut in save_futures:
+            fut.result()  # surface any write failure
     finally:
         loader.close()
+        if save_pool is not None:
+            save_pool.shutdown(wait=True)
     if config.test_batch_size and n_done:
         dt = time.perf_counter() - t0
         print(f' [*] {n_done} images in {dt:.2f}s = '

@@ -27,12 +27,17 @@ def extension_match_recursive(root, exts):
 
 
 class Dataset:
+    #: filename sentinel marking a padded row of a tail batch (see
+    #: `pad_tail`); callers mask these rows out before saving.
+    PAD = '<pad>'
+
     def __init__(self, dataroot, name, size, batchsize, config,
                  num_classes: Optional[int] = None, phase: str = 'train',
                  rng: Optional[np.random.RandomState] = None,
                  cache: bool = False, shard=(0, 1),
                  seed: Optional[int] = None,
-                 subdir: Optional[str] = None):
+                 subdir: Optional[str] = None,
+                 pad_tail: bool = False):
         """`cache=True` keeps every decoded+transformed image in RAM as
         float32 after first touch. The reference re-decodes and resizes
         every PNG on every epoch (dataset.py:58-67); at TPU step times
@@ -82,9 +87,19 @@ class Dataset:
             self.data = sorted(extension_match_recursive(
                 data_path, ['*.png', '*.jpg']))
 
+        # Batched throughput inference (`--test_batch_size`) must not
+        # silently drop tail files the way train parity (Q10) does:
+        # the final partial batch is padded to full size with repeats
+        # of the last file, reported under the PAD sentinel so callers
+        # skip the duplicate rows when saving.
+        self.pad_tail = pad_tail
+        if pad_tail:
+            assert phase == 'test' and self.process_count == 1, \
+                'pad_tail is a single-process test-mode feature'
+
         if len(self.data) == 0:
             raise Exception(f"[!] No data found in '{data_path}'")
-        if len(self.data) < self.batchsize:
+        if len(self.data) < self.batchsize and not pad_tail:
             raise Exception('[!] Entire dataset size is less than the '
                             'configured batch_size')
         self.size = int(min(len(self.data), size))
@@ -93,6 +108,8 @@ class Dataset:
         self.rng.shuffle(self.data)
 
     def __len__(self):
+        if self.pad_tail:  # ceil: tail batch padded, not dropped
+            return -(-self.size // self.batchsize)
         return self.size // self.batchsize  # drops last partial batch (Q10)
 
     def _load_pil(self, f):
@@ -139,7 +156,14 @@ class Dataset:
         # this process's rows of the global batch
         lo = self.process_index * self.local_batchsize
         filenames = filenames[lo:lo + self.local_batchsize]
-        batch_images = self._load_batch(filenames)
+        n_pad = 0
+        if self.pad_tail and len(filenames) < self.local_batchsize:
+            n_pad = self.local_batchsize - len(filenames)
+            batch_images = self._load_batch(
+                filenames + [filenames[-1]] * n_pad)
+            filenames = filenames + [self.PAD] * n_pad
+        else:
+            batch_images = self._load_batch(filenames)
 
         if self.phase == 'train':
             batch_z = self._z_rng.normal(

@@ -59,8 +59,10 @@ class Batcher:
 
     def __init__(self, forward, params, aux, input_hw, num_classes,
                  max_batch: int = 16, max_wait_ms: float = 5.0,
-                 seed: int = 0, depth: int = 2):
+                 seed: int = 0, depth: int = 2,
+                 transfer_dtype: str = 'bfloat16'):
         import jax
+        import jax.numpy as jnp
         self._jax = jax
         self.forward = forward
         self.params = params
@@ -70,9 +72,63 @@ class Batcher:
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.depth = max(1, depth)
+        # Serving cost on the remote-TPU tunnel is per-batch ROUND TRIPS
+        # plus bytes, not device compute (~2 ms/batch). Savings, in
+        # order of adoption (BASELINE.md serving section):
+        # - only the LEFT half of the pair is staged (the forward reads
+        #   inputs[:, :h, :w/2] — a half-width batch passes through that
+        #   slice unchanged);
+        # - the per-batch rng derivation + output cast are folded INTO
+        #   the one jitted call, so a batch costs exactly one dispatch +
+        #   one result sync instead of four host round trips;
+        # - transfer_dtype picks the wire dtype: 'bfloat16' (default;
+        #   8-bit mantissa, lossless enough for 8-bit imagery both
+        #   ways), 'float32' (exact), or 'uint8' — the end-to-end
+        #   contract is 8-bit PNGs, so uint8 moves exactly the bytes
+        #   the client keeps: inputs dequantize on device (x/127.5-1),
+        #   outputs get the PNG encoder's per-image scipy-bytescale
+        #   contrast stretch ON DEVICE (affine-invariant, so stretching
+        #   the raw photo equals stretching inverse_transform of it)
+        #   and come back as the final PNG payload values.
+        self._uint8 = transfer_dtype == 'uint8'
+        self._xfer_dtype = (np.uint8 if self._uint8
+                            else jnp.bfloat16
+                            if transfer_dtype == 'bfloat16'
+                            else np.dtype(transfer_dtype))
+        base_key = jax.random.PRNGKey(seed)
+        uint8_mode = self._uint8
+        # Params/aux live on device ONCE and are closed over the jit:
+        # dispatching then flattens 3 tiny args instead of the full
+        # params pytree (~28 ms/dispatch of host latency on this
+        # backend for large argument trees — and checkpoint-restored
+        # params arrive as NUMPY, which would re-upload the whole
+        # model every batch if passed as arguments).
+        dev_params = jax.device_put(params)
+        dev_aux = jax.device_put(aux)
+
+        def _step(images, classes, step_idx):
+            key = jax.random.fold_in(base_key, step_idx)
+            if uint8_mode:
+                # symmetric map: 128 -> exactly 0.0, so padding rows
+                # are bit-identical to the float path's zero padding
+                # (pad-row drift is AMPLIFIED: instance-norming a
+                # near-constant field divides by ~sqrt(eps), and the
+                # result leaks into every row via Q14 batch norm)
+                images = (images.astype(jnp.float32) - 128.0) / 127.5
+            _, photo = forward(dev_params, dev_aux, images, classes, key)
+            if uint8_mode:
+                p = photo.astype(jnp.float32)
+                cmin = p.min(axis=(1, 2, 3), keepdims=True)
+                cmax = p.max(axis=(1, 2, 3), keepdims=True)
+                cscale = jnp.where(cmax == cmin, 1.0, cmax - cmin)
+                v = (p - cmin) * (255.0 / cscale) + 0.4999
+                return jnp.clip(v, 0, 255).astype(jnp.uint8)
+            return photo.astype(self._xfer_dtype)
+
+        self._step_fn = jax.jit(_step)
+        self._n_dispatched = 0
         self.queue: 'queue.Queue' = queue.Queue()
         self._inflight: 'queue.Queue' = queue.Queue(maxsize=self.depth)
-        self.rng = jax.random.PRNGKey(seed)
         self.n_batches = 0
         self.n_requests = 0
         self.n_errors = 0
@@ -86,10 +142,10 @@ class Batcher:
         self.sync_thread.start()
 
     def submit(self, image: np.ndarray, class_id: int) -> 'queue.Queue':
-        """image: [H, W, 3] in [-1, 1] (the pair layout; only the left
-        half is read by the encoder). Returns a queue delivering the
-        generated [h, w/2, 3] photo — or an Exception instance if the
-        forward failed."""
+        """image: [H, W, 3] pair layout OR [H, W/2, 3] left half, in
+        [-1, 1] (only the left half is read by the encoder). Returns a
+        queue delivering the generated [h, w/2, 3] photo — or an
+        Exception instance if the forward failed."""
         out: 'queue.Queue' = queue.Queue(maxsize=1)
         self.queue.put((image, class_id, out))
         return out
@@ -116,16 +172,29 @@ class Batcher:
                     batch.append(self.queue.get(timeout=remaining))
                 except queue.Empty:
                     break
-            # fixed-shape padded batch: jit compiles exactly once
-            images = np.zeros((self.max_batch, h, w, 3), np.float32)
+            # fixed-shape padded batch: jit compiles exactly once.
+            # Stage LEFT HALF only, in the transfer dtype (see
+            # __init__), assembled VECTORIZED — per-image numpy work in
+            # this loop is the serial host cost that caps batches/s.
+            half_w = w // 2
+            n = len(batch)
+            lefts = np.stack([img[:h, :half_w] for img, _, _ in batch])
+            if self._uint8:  # quantize [-1,1] -> uint8, 0 -> 128
+                lefts = np.clip(np.round(lefts * 127.5 + 128.0),
+                                0, 255).astype(np.uint8)
+            images = np.empty((self.max_batch, h, half_w, 3),
+                              self._xfer_dtype)
+            images[:n] = lefts
+            # padding rows must dequantize to ~0, not -1: the
+            # generator's first norm is train-mode BATCH norm (Q14), so
+            # pad-row values leak into every row's statistics
+            images[n:] = 128 if self._uint8 else 0
             classes = np.zeros((self.max_batch,), np.int32)
-            for i, (img, cid, _) in enumerate(batch):
-                images[i] = img
-                classes[i] = cid
+            classes[:n] = [cid for _, cid, _ in batch]
             try:
-                self.rng, key = self._jax.random.split(self.rng)
-                _, image_out = self.forward(self.params, self.aux, images,
-                                            classes, key)
+                image_out = self._step_fn(images, classes,
+                                          np.int32(self._n_dispatched))
+                self._n_dispatched += 1
             except Exception as e:  # immediate (trace/shape) failure
                 self._fail(batch, e)
                 continue
@@ -138,7 +207,12 @@ class Batcher:
             except queue.Empty:
                 continue
             try:
-                arr = np.asarray(image_out)  # blocks until device done
+                # blocks until device done; transfer rides the compact
+                # dtype. uint8 mode hands out the final PNG payload
+                # values; float modes hand out f32 (host cast ~1 ms)
+                arr = np.asarray(image_out)
+                if not self._uint8:
+                    arr = arr.astype(np.float32)
                 for i, (_, _, out) in enumerate(batch):
                     out.put(arr[i])
             except Exception as e:  # deferred device-side failure
@@ -183,7 +257,10 @@ def _decode_request(body: bytes, input_hw) -> np.ndarray:
 def _encode_png(image: np.ndarray) -> bytes:
     from PIL import Image
     from .utils.images import bytescale, inverse_transform
-    data = bytescale(inverse_transform(np.asarray(image, np.float64)))
+    if image.dtype == np.uint8:  # uint8 transfer mode: already stretched
+        data = image
+    else:
+        data = bytescale(inverse_transform(np.asarray(image, np.float64)))
     buf = io.BytesIO()
     Image.fromarray(data).save(buf, format='PNG')
     return buf.getvalue()
@@ -192,6 +269,11 @@ def _encode_png(image: np.ndarray) -> bytes:
 def make_server(config, batcher: Batcher, port: int = 8000,
                 host: str = '127.0.0.1') -> ThreadingHTTPServer:
     input_hw = (config.output_height, config.output_width)
+
+    class Server(ThreadingHTTPServer):
+        # the stdlib default listen backlog of 5 drops connections
+        # (client-side ConnectionResetError) under concurrent load
+        request_queue_size = 128
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = 'HTTP/1.1'  # keep-alive (Content-Length is
@@ -254,7 +336,10 @@ def make_server(config, batcher: Batcher, port: int = 8000,
                 self.send_error(503, f'inference failed: {photo!r}')
                 return
             if raw:
-                body = np.ascontiguousarray(photo, '<f4').tobytes()
+                # float modes: f32 [-1,1]; uint8 transfer mode: the
+                # stretched 8-bit payload (same bytes a PNG client gets)
+                body = (photo.tobytes() if photo.dtype == np.uint8
+                        else np.ascontiguousarray(photo, '<f4').tobytes())
                 ctype = 'application/octet-stream'
             else:
                 body = _encode_png(photo)
@@ -265,7 +350,7 @@ def make_server(config, batcher: Batcher, port: int = 8000,
             self.end_headers()
             self.wfile.write(body)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    return Server((host, port), Handler)
 
 
 def main(argv=None):
@@ -287,6 +372,13 @@ def main(argv=None):
     parser.add_argument('--max_wait_ms', type=float, default=5.0)
     parser.add_argument('--serve_depth', type=int, default=2,
                         help='device batches kept in flight')
+    parser.add_argument('--transfer_dtype', type=str, default='bfloat16',
+                        choices=['bfloat16', 'float32', 'uint8'],
+                        help='host<->device transfer dtype. bf16 halves '
+                             'wire bytes (lossless enough for 8-bit '
+                             'imagery); uint8 moves exactly the PNG '
+                             'payload bytes (device-side quantize + '
+                             'per-image bytescale stretch)')
     args = parser.parse_args(argv)
     config = config_from_args(args).derive('test')
     enable_compilation_cache()
@@ -299,11 +391,14 @@ def main(argv=None):
     aux = {k: raw['aux'][k] for k in ('G1', 'G2', 'E')}
     print(f' [*] serving checkpoint step {counter}')
 
-    forward = make_test_forward(nets, config)
+    # jit=False: the Batcher wraps the forward in its own jit (rng
+    # derivation + output cast fused into the one dispatched program)
+    forward = make_test_forward(nets, config, jit=False)
     batcher = Batcher(forward, params, aux,
                       (config.output_height, config.output_width),
                       config.num_classes, max_batch=args.serve_batch,
-                      max_wait_ms=args.max_wait_ms, depth=args.serve_depth)
+                      max_wait_ms=args.max_wait_ms, depth=args.serve_depth,
+                      transfer_dtype=args.transfer_dtype)
     # warm the jit cache before accepting traffic
     warm = batcher.submit(
         np.zeros((config.output_height, config.output_width, 3),

@@ -5,6 +5,8 @@ Measures edgegan_tpu.serve on the real TPU with the FULL-SIZE model
 random-init weights; throughput does not depend on values) in three
 modes:
 
+  wire    — dispatch+sync loop on a prestaged padded batch (no batcher
+            threads): the tunnel's per-batch round-trip ceiling.
   direct  — batcher core only (dynamic batching + pipelined device
             dispatch), a submit-ahead client keeping the pipeline full.
             This is the serving-core img/s; the gap to bench.py's
@@ -30,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 H, W = 64, 128
 
 
-def build_batcher(serve_batch, depth=3):
+def build_batcher(serve_batch, depth=3, transfer_dtype='bfloat16'):
     import jax
 
     from edgegan_tpu.core.config import Config, enable_compilation_cache
@@ -45,9 +47,10 @@ def build_batcher(serve_batch, depth=3):
                                cfg.learning_rate)
     params = {k: state.params[k] for k in ('G1', 'G2', 'E')}
     aux = {k: state.aux[k] for k in ('G1', 'G2', 'E')}
-    forward = make_test_forward(nets, cfg)
+    forward = make_test_forward(nets, cfg, jit=False)
     batcher = Batcher(forward, params, aux, (H, W), cfg.num_classes,
-                      max_batch=serve_batch, max_wait_ms=2.0, depth=depth)
+                      max_batch=serve_batch, max_wait_ms=2.0, depth=depth,
+                      transfer_dtype=transfer_dtype)
     t0 = time.time()
     batcher.submit(np.zeros((H, W, 3), np.float32), 0).get(timeout=900)
     print(f'# warmed (compile {time.time() - t0:.0f}s)', file=sys.stderr)
@@ -82,8 +85,43 @@ def bench_direct(batcher, seconds, outstanding=512):
     inflight.put(None)
     th.join(timeout=300)
     dt = time.time() - t0
+    stats = batcher.stats()
     return {'mode': 'direct', 'img_per_s': round(done[0] / dt, 1),
-            'n': done[0], 'seconds': round(dt, 2)}
+            'n': done[0], 'seconds': round(dt, 2),
+            'mean_recent_occupancy': stats['mean_recent_occupancy']}
+
+
+def bench_wire(batcher, seconds):
+    """Tunnel wire ceiling: dispatch+sync loop on a PRESTAGED padded
+    batch, `depth` in flight, no batcher threads/queues in the path.
+    The gap between this and 'direct' is batcher host overhead; the gap
+    between this and bench.py's one-dispatch-scan capability is the
+    per-batch round-trip cost this backend imposes."""
+    import collections
+    b, h, w = batcher.max_batch, H, W // 2
+    if batcher._uint8:
+        images = np.full((b, h, w, 3), 128, np.uint8)
+    else:
+        images = np.zeros((b, h, w, 3), batcher._xfer_dtype)
+    classes = np.zeros((b,), np.int32)
+    step = batcher._step_fn
+    inflight = collections.deque()
+    stop = time.time() + seconds
+    t0 = time.time()
+    n = 0
+    i = 0
+    while time.time() < stop:
+        inflight.append(step(images, classes, np.int32(i)))
+        i += 1
+        if len(inflight) >= batcher.depth:
+            np.asarray(inflight.popleft())
+            n += b
+    while inflight:
+        np.asarray(inflight.popleft())
+        n += b
+    dt = time.time() - t0
+    return {'mode': 'wire', 'img_per_s': round(n / dt, 1), 'n': n,
+            'seconds': round(dt, 2), 'depth': batcher.depth}
 
 
 def bench_http(cfg, batcher, seconds, mode, clients=16):
@@ -111,6 +149,13 @@ def bench_http(cfg, batcher, seconds, mode, clients=16):
     stop_t = time.time() + seconds
     counts = [0] * clients
     errors = [0] * clients
+    error_kinds: dict = {}
+    elock = threading.Lock()
+
+    def _record_error(i, kind):
+        errors[i] += 1
+        with elock:
+            error_kinds[kind] = error_kinds.get(kind, 0) + 1
 
     def client(i):
         conn = http.client.HTTPConnection('127.0.0.1', port, timeout=120)
@@ -118,13 +163,13 @@ def bench_http(cfg, batcher, seconds, mode, clients=16):
             try:
                 conn.request('POST', path, body=body)
                 resp = conn.getresponse()
-                resp.read()
+                data = resp.read()
                 if resp.status == 200:
                     counts[i] += 1
                 else:
-                    errors[i] += 1
-            except Exception:
-                errors[i] += 1
+                    _record_error(i, f'{resp.status}:{data[:120]!r}')
+            except Exception as e:
+                _record_error(i, type(e).__name__)
                 conn = http.client.HTTPConnection('127.0.0.1', port,
                                                   timeout=120)
 
@@ -141,18 +186,28 @@ def bench_http(cfg, batcher, seconds, mode, clients=16):
     return {'mode': mode, 'req_per_s': round(sum(counts) / dt, 1),
             'n': sum(counts), 'errors': sum(errors), 'clients': clients,
             'seconds': round(dt, 2),
-            'mean_recent_occupancy': stats['mean_recent_occupancy']}
+            'mean_recent_occupancy': stats['mean_recent_occupancy'],
+            **({'error_kinds': error_kinds} if error_kinds else {})}
 
 
 def main():
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 15.0
     serve_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    cfg, batcher = build_batcher(serve_batch)
+    clients = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    modes = sys.argv[4].split(',') if len(sys.argv) > 4 else [
+        'direct', 'raw', 'png']
+    transfer_dtype = sys.argv[5] if len(sys.argv) > 5 else 'bfloat16'
+    cfg, batcher = build_batcher(serve_batch, transfer_dtype=transfer_dtype)
     try:
-        for result in [bench_direct(batcher, seconds),
-                       bench_http(cfg, batcher, seconds, 'raw'),
-                       bench_http(cfg, batcher, seconds, 'png')]:
+        for mode in modes:
+            if mode == 'wire':
+                result = bench_wire(batcher, seconds)
+            elif mode == 'direct':
+                result = bench_direct(batcher, seconds)
+            else:
+                result = bench_http(cfg, batcher, seconds, mode, clients)
             result['serve_batch'] = serve_batch
+            result['transfer_dtype'] = transfer_dtype
             print(json.dumps(result), flush=True)
     finally:
         batcher.stop()

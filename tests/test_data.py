@@ -107,6 +107,31 @@ class TestDataset:
             Dataset(str(tmp_path), 'nope', float('inf'), 1, CFG, None,
                     'train')
 
+    def test_pad_tail_keeps_every_file(self, dataroot):
+        """Batched test mode must not Q10-drop the final partial batch:
+        4 files at batch 3 -> 2 batches, the tail padded with PAD rows
+        that repeat the last image."""
+        ds = Dataset(dataroot, 'ds', float('inf'), 3, CFG, None, 'test',
+                     pad_tail=True)
+        assert len(ds) == 2
+        imgs0, files0 = ds[0]
+        imgs1, files1 = ds[1]
+        assert imgs0.shape == imgs1.shape == (3, 64, 128, 3)
+        real = files0 + [f for f in files1 if f != Dataset.PAD]
+        assert real == ds.data  # every file exactly once, in order
+        assert files1[1:] == [Dataset.PAD, Dataset.PAD]
+        # padded rows decode the last real file (static shapes, masked
+        # out by the caller before saving)
+        np.testing.assert_array_equal(imgs1[1], imgs1[0])
+
+    def test_pad_tail_allows_dataset_smaller_than_batch(self, dataroot):
+        ds = Dataset(dataroot, 'ds', float('inf'), 64, CFG, None, 'test',
+                     pad_tail=True)
+        assert len(ds) == 1
+        imgs, files = ds[0]
+        assert imgs.shape[0] == 64
+        assert files[:4] == ds.data and set(files[4:]) == {Dataset.PAD}
+
 
 class TestPrefetchLoader:
     def test_order_preserved(self, dataroot):

@@ -106,6 +106,18 @@ def test_train_then_test_cli(tmp_path, capsys):
             # 'full' combination: input(W) | outputL(W/2) | outputR(W/2)
             assert img.size == (2 * W, H), (p, img.size)
 
+    # ---- batched pipelined mode (--test_batch_size): same file set,
+    # written through the dispatch-ahead + threaded-save path ----
+    import shutil
+    shutil.rmtree(out_root)
+    cli_test.main(common_flags(dataroot, outputs)
+                  + ['--test_batch_size', '4'])
+    for cls in range(NUM_CLASSES):
+        pngs = sorted(glob.glob(os.path.join(out_root, str(cls), '*.png')))
+        assert len(pngs) == 2, (cls, pngs)
+        for p in pngs:
+            assert Image.open(p).size == (2 * W, H), p
+
 
 @pytest.mark.slow
 def test_nan_policy_halt(tmp_path, monkeypatch):

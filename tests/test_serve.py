@@ -170,6 +170,41 @@ def test_batcher_error_delivery_and_health():
         batcher.stop()
 
 
+def test_uint8_transfer_mode_matches_png_path(served):
+    """transfer_dtype='uint8' moves the final PNG payload bytes: the
+    device-side per-image bytescale stretch must match the host encoder
+    applied to the float-path output (up to input-quantization noise)."""
+    cfg, _, _ = served
+    nets = Networks(cfg)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    params = {k: state.params[k] for k in ('G1', 'G2', 'E')}
+    aux = {k: state.aux[k] for k in ('G1', 'G2', 'E')}
+    forward = make_test_forward(nets, cfg, jit=False)
+    img = np.random.RandomState(7).uniform(-1, 1, (H, W, 3)).astype(
+        np.float32)
+
+    outs = {}
+    for dtype in ('float32', 'uint8'):
+        b = Batcher(forward, params, aux, (H, W), cfg.num_classes,
+                    max_batch=4, max_wait_ms=5.0, seed=0,
+                    transfer_dtype=dtype)
+        try:
+            outs[dtype] = b.submit(img, 1).get(timeout=300)
+        finally:
+            b.stop()
+
+    from edgegan_tpu.utils.images import bytescale, inverse_transform
+    host_u8 = bytescale(inverse_transform(
+        np.asarray(outs['float32'], np.float64)))
+    dev_u8 = outs['uint8']
+    assert dev_u8.dtype == np.uint8 and dev_u8.shape == host_u8.shape
+    diff = np.abs(dev_u8.astype(int) - host_u8.astype(int))
+    # same rng stream (seed 0, batch index 0 both): only input
+    # quantization (<=1/255) separates the two paths
+    assert np.mean(diff) < 2.0 and np.max(diff) <= 16
+
+
 def test_http_bad_requests(served):
     import http.client
     _, _, port = served
