@@ -49,43 +49,68 @@ def _gc(checkpoint_dir: str, keep: int):
         shutil.rmtree(_ckpt_path(checkpoint_dir, step), ignore_errors=True)
 
 
-def latest_step(checkpoint_dir: str) -> Optional[int]:
+def _all_steps(checkpoint_dir: str):
     if not os.path.isdir(checkpoint_dir):
-        return None
+        return []
     steps = []
     for name in os.listdir(checkpoint_dir):
         m = re.fullmatch(rf'{MODEL_NAME}-(\d+)', name)
         if m:
             steps.append(int(m.group(1)))
-    return max(steps) if steps else None
+    return sorted(steps)
+
+
+def latest_step(checkpoint_dir: str) -> Optional[int]:
+    steps = _all_steps(checkpoint_dir)
+    return steps[-1] if steps else None
+
+
+def _restore_newest(checkpoint_dir: str, restore_one):
+    """Try checkpoints newest->oldest, skipping corrupt entries.
+
+    A preemption that lands mid-save (SIGKILL after SIGTERM started the
+    preemption checkpoint, disk-full, ...) can leave the newest entry
+    present but truncated; Orbax then raises mid-restore. Production
+    resume semantics are to fall back to the previous complete
+    checkpoint, not to crash the relaunched job (observed in the wild:
+    a killed run left EdgeGAN-Model-502 with truncated zstd streams).
+    """
+    for step in reversed(_all_steps(checkpoint_dir)):
+        try:
+            return True, step, restore_one(step)
+        except Exception as e:  # corrupt/partial entry: fall back
+            print(f' [!] checkpoint {MODEL_NAME}-{step} unreadable '
+                  f'({type(e).__name__}); trying previous')
+    return False, 0, None
 
 
 def load(checkpoint_dir: str, abstract_state: Any) -> Tuple[bool, int, Any]:
-    """Restore the latest checkpoint; returns (loaded, counter, state).
+    """Restore the newest readable checkpoint; returns
+    (loaded, counter, state).
 
     Mirrors reference load(): returns (False, 0, None) when nothing is
-    found (models/edgegan.py:641-657).
+    found (models/edgegan.py:641-657) — or when every entry is corrupt.
     """
-    step = latest_step(checkpoint_dir)
-    if step is None:
-        return False, 0, None
     ckptr = ocp.StandardCheckpointer()
     shapes = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
-    state = ckptr.restore(_ckpt_path(checkpoint_dir, step), shapes)
-    return True, step, state
+
+    def restore_one(step):
+        return ckptr.restore(_ckpt_path(checkpoint_dir, step), shapes)
+
+    return _restore_newest(checkpoint_dir, restore_one)
 
 
 def load_raw(checkpoint_dir: str) -> Tuple[bool, int, Any]:
-    """Restore the latest checkpoint WITHOUT a target tree.
+    """Restore the newest readable checkpoint WITHOUT a target tree.
 
     Returns the stored pytree as host arrays. Used by the test CLI,
     which — like the reference test graph (models/edgegan.py:519-547)
     — only needs the E/G1/G2 subtrees and must not depend on the
     train-time discriminator configuration.
     """
-    step = latest_step(checkpoint_dir)
-    if step is None:
-        return False, 0, None
     ckptr = ocp.PyTreeCheckpointer()
-    tree = ckptr.restore(_ckpt_path(checkpoint_dir, step))
-    return True, step, tree
+
+    def restore_one(step):
+        return ckptr.restore(_ckpt_path(checkpoint_dir, step))
+
+    return _restore_newest(checkpoint_dir, restore_one)

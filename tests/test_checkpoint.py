@@ -67,3 +67,51 @@ def test_missing_returns_false(tmp_path):
     state = make_state()
     loaded, counter, restored = ckpt.load(str(tmp_path / 'nope'), state)
     assert not loaded and counter == 0 and restored is None
+
+def _corrupt(ckpt_dir, step):
+    """Truncate every data file in the entry: simulates a preemption
+    that killed the process mid-save (observed to leave truncated zstd
+    streams that make Orbax raise mid-restore)."""
+    import os
+    root = os.path.join(ckpt_dir, f'{ckpt.MODEL_NAME}-{step}')
+    hit = 0
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            if os.path.getsize(p) > 64:
+                with open(p, 'r+b') as fh:
+                    fh.truncate(32)
+                hit += 1
+    assert hit, f'no data files found under {root}'
+
+
+def test_load_falls_back_past_corrupt_newest(tmp_path, capsys):
+    """A corrupt newest entry must not crash resume: load() falls back
+    to the previous complete checkpoint (production preemption
+    semantics; the reference's Saver would just crash)."""
+    state = make_state()
+    d = str(tmp_path / 'checkpoints')
+    ckpt.save(d, 502, state)
+    ckpt.save(d, 1002, state)
+    _corrupt(d, 1002)
+    loaded, counter, restored = ckpt.load(d, state)
+    assert loaded and counter == 502
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert 'unreadable' in capsys.readouterr().out
+
+    # load_raw (test CLI path) takes the same fallback
+    loaded, counter, tree = ckpt.load_raw(d)
+    assert loaded and counter == 502
+    np.testing.assert_array_equal(
+        np.asarray(tree['params']['G1']['g_lin_0']['Matrix']),
+        np.asarray(state.params['G1']['g_lin_0']['Matrix']))
+
+
+def test_load_all_corrupt_returns_false(tmp_path):
+    state = make_state()
+    d = str(tmp_path / 'checkpoints')
+    ckpt.save(d, 2, state)
+    _corrupt(d, 2)
+    loaded, counter, restored = ckpt.load(d, state)
+    assert not loaded and counter == 0 and restored is None
