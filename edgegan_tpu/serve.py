@@ -21,6 +21,14 @@ Endpoints:
   POST /generate?raw=1        body: raw float32 [H,W,3] pair in [-1,1];
                               returns raw float32 photo (no PNG codec —
                               the throughput path for bulk clients).
+  POST /generate?raw=1&n=K    body: raw float32 [K,H,W,3]; returns the
+                              stacked [K,h,w,3] photos. One request
+                              carries K images, so the per-request HTTP
+                              overhead (~11 ms of Python framing) is
+                              amortized K-fold — the bulk path that
+                              saturates the device wire (BASELINE.md
+                              serving section). class_id may be a
+                              comma-separated list of K ids.
   GET  /healthz               liveness (both pipeline threads) + stats;
                               503 when the pipeline is dead.
 
@@ -299,50 +307,68 @@ def make_server(config, batcher: Batcher, port: int = 8000,
                 self.send_error(404)
                 return
             try:
-                class_id, raw = 0, False
+                class_ids, raw, n = [0], False, 1
                 if '?' in self.path:
                     for kv in self.path.split('?', 1)[1].split('&'):
                         k, _, v = kv.partition('=')
                         if k == 'class_id':
-                            class_id = int(v)
+                            class_ids = [int(c) for c in v.split(',')]
                         elif k == 'raw':
                             raw = v not in ('', '0', 'false')
-                if not 0 <= class_id < (batcher.num_classes or 1):
-                    raise ValueError(f'class_id {class_id} out of range')
+                        elif k == 'n':
+                            n = int(v)
+                if not 1 <= n <= 4096:
+                    raise ValueError(f'n {n} out of range')
+                if n > 1 and not raw:
+                    raise ValueError('n>1 requires raw=1')
+                if len(class_ids) == 1:
+                    class_ids = class_ids * n
+                if len(class_ids) != n:
+                    raise ValueError(
+                        f'{len(class_ids)} class_ids for n={n}')
+                for cid in class_ids:
+                    if not 0 <= cid < (batcher.num_classes or 1):
+                        raise ValueError(f'class_id {cid} out of range')
                 length = int(self.headers.get('Content-Length', 0))
                 body = self.rfile.read(length)
                 if raw:
                     # raw tensor mode: body is float32 little-endian
-                    # [H, W, 3] pair layout in [-1, 1]; skips the PNG
-                    # codec for throughput-critical clients
+                    # [n, H, W, 3] pair layout in [-1, 1]; skips the
+                    # PNG codec for throughput-critical clients
                     h, w = input_hw
-                    image = np.frombuffer(body, '<f4')
-                    if image.size != h * w * 3:
+                    images = np.frombuffer(body, '<f4')
+                    if images.size != n * h * w * 3:
                         raise ValueError(
-                            f'raw body must be {h}x{w}x3 float32')
-                    image = image.reshape(h, w, 3)
+                            f'raw body must be {n}x{h}x{w}x3 float32')
+                    images = images.reshape(n, h, w, 3)
                 else:
-                    image = _decode_request(body, input_hw)
+                    images = _decode_request(body, input_hw)[None]
             except Exception as e:  # bad request
                 self.send_error(400, str(e))
                 return
-            out = batcher.submit(image, class_id)
-            try:
-                photo = out.get(timeout=60)
-            except queue.Empty:
-                self.send_error(503, 'inference timed out')
-                return
-            if isinstance(photo, Exception):
-                self.send_error(503, f'inference failed: {photo!r}')
-                return
+            outs = [batcher.submit(img, cid)
+                    for img, cid in zip(images, class_ids)]
+            photos = []
+            for out in outs:
+                try:
+                    photo = out.get(timeout=60)
+                except queue.Empty:
+                    self.send_error(503, 'inference timed out')
+                    return
+                if isinstance(photo, Exception):
+                    self.send_error(503, f'inference failed: {photo!r}')
+                    return
+                photos.append(photo)
             if raw:
                 # float modes: f32 [-1,1]; uint8 transfer mode: the
                 # stretched 8-bit payload (same bytes a PNG client gets)
-                body = (photo.tobytes() if photo.dtype == np.uint8
-                        else np.ascontiguousarray(photo, '<f4').tobytes())
+                stacked = np.stack(photos)
+                body = (stacked.tobytes() if stacked.dtype == np.uint8
+                        else np.ascontiguousarray(
+                            stacked, '<f4').tobytes())
                 ctype = 'application/octet-stream'
             else:
-                body = _encode_png(photo)
+                body = _encode_png(photos[0])
                 ctype = 'image/png'
             self.send_response(200)
             self.send_header('Content-Type', ctype)

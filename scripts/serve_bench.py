@@ -133,7 +133,13 @@ def bench_http(cfg, batcher, seconds, mode, clients=16):
     sthread = threading.Thread(target=server.serve_forever, daemon=True)
     sthread.start()
 
-    if mode == 'raw':
+    imgs_per_req = 1
+    if mode == 'rawbatch':
+        imgs_per_req = 64
+        body = np.random.RandomState(1).uniform(
+            -1, 1, (imgs_per_req, H, W, 3)).astype('<f4').tobytes()
+        path = f'/generate?class_id=3&raw=1&n={imgs_per_req}'
+    elif mode == 'raw':
         body = np.random.RandomState(1).uniform(
             -1, 1, (H, W, 3)).astype('<f4').tobytes()
         path = '/generate?class_id=3&raw=1'
@@ -184,6 +190,7 @@ def bench_http(cfg, batcher, seconds, mode, clients=16):
     server.shutdown()
     stats = batcher.stats()
     return {'mode': mode, 'req_per_s': round(sum(counts) / dt, 1),
+            'img_per_s': round(sum(counts) * imgs_per_req / dt, 1),
             'n': sum(counts), 'errors': sum(errors), 'clients': clients,
             'seconds': round(dt, 2),
             'mean_recent_occupancy': stats['mean_recent_occupancy'],

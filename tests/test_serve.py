@@ -112,6 +112,39 @@ def test_http_raw_tensor_mode(served):
     assert conn.getresponse().status == 400
 
 
+def test_http_raw_batch_mode(served):
+    """raw=1&n=K: K images per request, outputs stacked in order, with
+    per-image class ids. The bulk path that amortizes per-request HTTP
+    overhead (BASELINE.md serving section)."""
+    import http.client
+    _, _, port = served
+    n = 3
+    imgs = np.random.RandomState(4).uniform(-1, 1, (n, H, W, 3)).astype(
+        '<f4')
+    imgs[2] = imgs[1]  # identical slots must produce identical outputs
+    conn = http.client.HTTPConnection('127.0.0.1', port, timeout=300)
+    conn.request('POST', f'/generate?class_id=0,2,2&raw=1&n={n}',
+                 body=imgs.tobytes())
+    resp = conn.getresponse()
+    assert resp.status == 200
+    out = np.frombuffer(resp.read(), '<f4').reshape(n, H, W // 2, 3)
+    assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
+    # per-slot routing: identical (image, class) slots agree (they ride
+    # one padded batch, sharing the batch rng); the distinct slot differs
+    np.testing.assert_allclose(out[1], out[2], atol=1e-6)
+    assert np.abs(out[0] - out[1]).max() > 1e-3
+    # bad shapes / params -> 400
+    for path, body in [
+            (f'/generate?raw=1&n={n}', imgs[:2].tobytes()),  # size mismatch
+            ('/generate?raw=1&n=0', b''),                    # n out of range
+            ('/generate?n=2', b''),                          # n>1 needs raw
+            (f'/generate?class_id=0,1&raw=1&n={n}',
+             imgs.tobytes())]:                               # id count
+        conn.request('POST', path, body=body)
+        assert conn.getresponse().status == 400
+        conn = http.client.HTTPConnection('127.0.0.1', port, timeout=60)
+
+
 def test_batcher_error_delivery_and_health():
     """A failing forward must deliver the exception to every waiting
     request (503 over HTTP), leave the pipeline threads alive, and keep
