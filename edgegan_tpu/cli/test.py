@@ -113,6 +113,21 @@ def main(argv=None):
     rng = jax.random.PRNGKey(6666)  # reference test.py:15 seeds TF with 6666
     half_w = int(config.output_width / 2)
 
+    # Multi-chip batched inference: shard the batch over a 1-D data
+    # mesh, replicate params, and let GSPMD partition the forward — the
+    # same recipe as training (parallel/__init__.py), no code change in
+    # the model. Engaged when the host sees >1 device and the batch
+    # divides evenly; batch-1 parity mode stays single-device.
+    mesh = None
+    if (config.test_batch_size and jax.device_count() > 1
+            and batch % jax.device_count() == 0):
+        from ..parallel import create_mesh, replicated, shard_batch
+        mesh = create_mesh()
+        params = jax.device_put(params, replicated(mesh))
+        aux = jax.device_put(aux, replicated(mesh))
+        print(f' [*] sharding inference over {jax.device_count()} '
+              f'devices')
+
     def _save_batch(batch_images, filenames, mask, edge_out, image_out):
         """Sync a dispatched forward and write its output files."""
         batch_images = batch_images[mask]
@@ -189,6 +204,9 @@ def main(argv=None):
             dev_images = (batch_images.astype(jax.numpy.bfloat16)
                           if config.test_batch_size
                           and config.dtype == 'bfloat16' else batch_images)
+            if mesh is not None:
+                dev_images, batch_classes = shard_batch(
+                    mesh, dev_images, batch_classes)
             edge_out, image_out = forward(
                 params, aux, dev_images, batch_classes,
                 jax.random.fold_in(rng, idx))

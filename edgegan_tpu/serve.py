@@ -68,7 +68,7 @@ class Batcher:
     def __init__(self, forward, params, aux, input_hw, num_classes,
                  max_batch: int = 16, max_wait_ms: float = 5.0,
                  seed: int = 0, depth: int = 2,
-                 transfer_dtype: str = 'bfloat16'):
+                 transfer_dtype: str = 'bfloat16', mesh=None):
         import jax
         import jax.numpy as jnp
         self._jax = jax
@@ -111,8 +111,22 @@ class Batcher:
         # backend for large argument trees — and checkpoint-restored
         # params arrive as NUMPY, which would re-upload the whole
         # model every batch if passed as arguments).
-        dev_params = jax.device_put(params)
-        dev_aux = jax.device_put(aux)
+        # mesh: multi-chip data-parallel serving — params replicated,
+        # each padded batch sharded over the 1-D 'data' mesh, GSPMD
+        # partitioning the forward (same recipe as training/test CLI).
+        # max_batch must divide evenly across the mesh devices.
+        self._mesh = mesh
+        if mesh is not None:
+            from .parallel import batch_sharding, replicated
+            assert max_batch % mesh.size == 0, (
+                f'max_batch {max_batch} not divisible by mesh size '
+                f'{mesh.size}')
+            dev_params = jax.device_put(params, replicated(mesh))
+            dev_aux = jax.device_put(aux, replicated(mesh))
+            self._batch_sharding = batch_sharding(mesh)
+        else:
+            dev_params = jax.device_put(params)
+            dev_aux = jax.device_put(aux)
 
         def _step(images, classes, step_idx):
             key = jax.random.fold_in(base_key, step_idx)
@@ -200,6 +214,11 @@ class Batcher:
             classes = np.zeros((self.max_batch,), np.int32)
             classes[:n] = [cid for _, cid, _ in batch]
             try:
+                if self._mesh is not None:
+                    images = self._jax.device_put(images,
+                                                  self._batch_sharding)
+                    classes = self._jax.device_put(classes,
+                                                   self._batch_sharding)
                 image_out = self._step_fn(images, classes,
                                           np.int32(self._n_dispatched))
                 self._n_dispatched += 1
@@ -420,11 +439,16 @@ def main(argv=None):
     # jit=False: the Batcher wraps the forward in its own jit (rng
     # derivation + output cast fused into the one dispatched program)
     forward = make_test_forward(nets, config, jit=False)
+    mesh = None
+    if jax.device_count() > 1 and args.serve_batch % jax.device_count() == 0:
+        from .parallel import create_mesh
+        mesh = create_mesh()
+        print(f' [*] sharding serving over {jax.device_count()} devices')
     batcher = Batcher(forward, params, aux,
                       (config.output_height, config.output_width),
                       config.num_classes, max_batch=args.serve_batch,
                       max_wait_ms=args.max_wait_ms, depth=args.serve_depth,
-                      transfer_dtype=args.transfer_dtype)
+                      transfer_dtype=args.transfer_dtype, mesh=mesh)
     # warm the jit cache before accepting traffic
     warm = batcher.submit(
         np.zeros((config.output_height, config.output_width, 3),

@@ -146,3 +146,81 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_inference_matches_single_device(devices):
+    """Multi-chip batched inference (cli/test.py --test_batch_size,
+    serve.Batcher(mesh=...)): the test forward over a batch-sharded
+    input + replicated params must match the single-device forward
+    numerically (same rng key both ways). Not bit-for-bit: the
+    generator's FIRST norm is train-mode BATCH norm (quirk Q14), so
+    batch statistics span devices and GSPMD's psum reduction order
+    differs from the single-device sum at the ~1e-6 level."""
+    from edgegan_tpu.infer import make_test_forward
+
+    cfg = tiny_cfg().derive('test')
+    nets = Networks(cfg)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    params = {k: state.params[k] for k in ('G1', 'G2', 'E')}
+    aux = {k: state.aux[k] for k in ('G1', 'G2', 'E')}
+
+    b = 8
+    images = np.random.RandomState(0).randn(
+        b, cfg.output_height, cfg.output_width, 3).astype(
+            np.float32).clip(-1, 1)
+    classes = np.arange(b, dtype=np.int32) % cfg.num_classes
+    key = jax.random.PRNGKey(7)
+
+    forward = make_test_forward(nets, cfg)
+    edge_1, img_1 = forward(params, aux, images, classes, key)
+
+    mesh = create_mesh(devices)
+    params_r = jax.device_put(params, replicated(mesh))
+    aux_r = jax.device_put(aux, replicated(mesh))
+    images_s, classes_s = shard_batch(mesh, images, classes)
+    edge_s, img_s = forward(params_r, aux_r, images_s, classes_s, key)
+    assert edge_s.sharding.spec == P('data')
+
+    np.testing.assert_allclose(np.asarray(edge_1), np.asarray(edge_s),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(img_1), np.asarray(img_s),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_batcher_mesh_serving(devices):
+    """serve.Batcher with a mesh: requests ride batch-sharded padded
+    batches; outputs must match the single-device batcher for the same
+    submissions (same per-dispatch rng)."""
+    from edgegan_tpu.infer import make_test_forward
+    from edgegan_tpu.serve import Batcher
+
+    cfg = tiny_cfg().derive('test')
+    nets = Networks(cfg)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    params = {k: state.params[k] for k in ('G1', 'G2', 'E')}
+    aux = {k: state.aux[k] for k in ('G1', 'G2', 'E')}
+    forward = make_test_forward(nets, cfg, jit=False)
+    hw = (cfg.output_height, cfg.output_width)
+    img = np.random.RandomState(3).uniform(
+        -1, 1, (cfg.output_height, cfg.output_width, 3)).astype(
+            np.float32)
+
+    outs = {}
+    for name, mesh in [('single', None), ('mesh', create_mesh(devices))]:
+        batcher = Batcher(forward, params, aux, hw, cfg.num_classes,
+                          max_batch=8, max_wait_ms=50.0,
+                          transfer_dtype='float32', mesh=mesh)
+        try:
+            # one full batch: all 8 submitted before the wait expires
+            qs = [batcher.submit(img, i % cfg.num_classes)
+                  for i in range(8)]
+            outs[name] = [q.get(timeout=300) for q in qs]
+        finally:
+            batcher.stop()
+        for o in outs[name]:
+            assert not isinstance(o, Exception), o
+
+    for a, b in zip(outs['single'], outs['mesh']):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
