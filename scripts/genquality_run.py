@@ -1,0 +1,269 @@
+"""Generalization-quality run on a diverse procedural dataset.
+
+The multiclass real-data loop (scripts/multiclass_real_run.py) closes
+train->evaluate->samples on the reference's example pairs, but with only
+5 distinct training images its held-out numbers demonstrate loop
+closure, not learning. This script produces the first *generalization*
+evidence the environment allows (no SketchyCOCO download): a
+procedurally generated edge|photo dataset diverse enough that held-out
+reconstruction is only possible if the model actually learned the
+sketch->photo mapping.
+
+Dataset (self-contained, seeded):
+  4 classes of filled shapes (circle / square / triangle / cross), each
+  photo 64x64 with randomized shape color, size, position, background
+  color + vertical brightness gradient + sensor noise; the edge half is
+  DERIVED from the photo by gradient-magnitude thresholding (black
+  strokes on white, like the reference's HED-style edges,
+  /root/reference/README.md dataset description). Layout matches the
+  reference loader: <dataroot>/<dataset>/{train,test}/<class>/*.png
+  side-by-side 128x64 pairs (/root/reference/edgegan/utils/dataset.py).
+
+Loop: train the FULL-SIZE 64x128 architecture (batch 64, RMSProp 2e-4,
+faithful 7-group update — the reference headline config,
+/root/reference/edgegan/train.py:17-29) with num_classes=4 on the TPU,
+then evaluate train AND held-out splits (classifier-FID + L1/MSE/PSNR),
+run the test CLI on held-out sketches, and write a sample grid.
+
+Usage:  python scripts/genquality_run.py [steps] [outdir] [lr]
+  lr: optional learning rate (default the reference's 2e-4; 1e-4 is
+  the documented stabilization when the edge critic's WGAN drift NaNs
+  a run before `steps` -- see BASELINE.md training-stability note)
+Writes: <outdir>/gq_curves.png, gq_metrics.jsonl, gq_eval.json,
+        gq_samples.png
+"""
+import glob
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NUM_CLASSES = 4
+TRAIN_PER_CLASS = 480    # 1920 files -> 30 steps/epoch at batch 64
+TEST_PER_CLASS = 24      # 96 held-out pairs
+H, W = 64, 64            # photo size; pair is 64x128
+
+
+def _smooth_field(rng, cells=5, lo=0.0, hi=1.0):
+    """Smooth random color field in [lo, hi]: random low-res RGB grid,
+    bilinearly upsampled — soft blobs like out-of-focus background."""
+    from PIL import Image
+    grid = rng.uniform(lo, hi, (cells, cells, 3)).astype(np.float32)
+    chans = [np.asarray(Image.fromarray(grid[:, :, c], mode='F')
+                        .resize((W, H), Image.BILINEAR))
+             for c in range(3)]
+    return np.stack(chans, axis=2)
+
+
+def _draw_photo(rng, class_id):
+    """One randomized 64x64 'photo' (uint8) for the class's shape.
+
+    Texture-dense on purpose: flat-color backgrounds are the degenerate
+    regime where the WGAN critics diverge (BASELINE.md training
+    stability note — a flat-background first attempt of this script had
+    its edge critic drift to -90 and NaN at step ~208). Natural photos
+    (the reference's SketchyCOCO) have gradients everywhere; the smooth
+    random field + clutter lines reproduce that property.
+    """
+    from PIL import Image, ImageDraw
+
+    def color(lo=0, hi=255):
+        return tuple(int(c) for c in rng.randint(lo, hi, 3))
+
+    # background: smooth random color field (never flat)
+    arr = _smooth_field(rng, cells=int(rng.randint(4, 8)),
+                        lo=0.1, hi=0.9) * 255.0
+    img = Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8))
+    draw = ImageDraw.Draw(img)
+    # background clutter: thin lines + small dots (dense edge response,
+    # like foliage/ground texture in natural photos)
+    for _ in range(rng.randint(2, 5)):
+        p = [int(rng.randint(0, W)), int(rng.randint(0, H)),
+             int(rng.randint(0, W)), int(rng.randint(0, H))]
+        draw.line(p, fill=color(), width=1)
+    for _ in range(rng.randint(3, 8)):
+        x, y, r = rng.randint(0, W), rng.randint(0, H), rng.randint(1, 3)
+        draw.ellipse([x - r, y - r, x + r, y + r], fill=color())
+    # the class-defining shape, filled with its own shaded field
+    bg_mean = np.asarray(img, np.float32).mean(axis=(0, 1))
+    fg = color(30, 225)
+    while np.abs(np.subtract(fg, bg_mean)).sum() < 180:  # contrast
+        fg = color(30, 225)
+    r = rng.randint(12, 22)                       # shape radius
+    cx = rng.randint(r + 4, W - r - 4)
+    cy = rng.randint(r + 4, H - r - 4)
+    if class_id == 0:    # circle
+        draw.ellipse([cx - r, cy - r, cx + r, cy + r], fill=fg)
+    elif class_id == 1:  # square
+        draw.rectangle([cx - r, cy - r, cx + r, cy + r], fill=fg)
+    elif class_id == 2:  # triangle
+        draw.polygon([(cx, cy - r), (cx - r, cy + r), (cx + r, cy + r)],
+                     fill=fg)
+    else:                # cross
+        t = max(3, r // 2)
+        draw.rectangle([cx - r, cy - t, cx + r, cy + t], fill=fg)
+        draw.rectangle([cx - t, cy - r, cx + t, cy + r], fill=fg)
+    arr = np.asarray(img, np.float32)
+    # shade the shape with a soft luminance field so it isn't flat either
+    shade = (_smooth_field(rng, cells=4, lo=-0.25, hi=0.25).mean(axis=2,
+             keepdims=True) + 1.0)
+    arr = arr * shade
+    # vertical brightness gradient + sensor noise
+    grad = np.linspace(-18, 18, H, dtype=np.float32)[:, None, None]
+    arr = arr + grad * rng.uniform(0.0, 1.0) + rng.normal(0, 3, arr.shape)
+    return np.clip(arr, 0, 255).astype(np.uint8)
+
+
+def _edge_map(photo):
+    """Photo -> dark-stroke-on-white edge half: per-channel gradient
+    magnitude, max over channels (chroma-only boundaries count too).
+
+    SOFT grayscale strokes, like the reference's HED edge maps — and
+    unlike hard 0/255 thresholding, which makes the edge half an
+    almost-constant white field: the degenerate-WGAN regime where the
+    edge critic diverges (BASELINE.md training-stability note; a
+    thresholded first attempt of this very script NaN'd at step 178)."""
+    g = photo.astype(np.float32)
+    gy, gx = np.gradient(g, axis=(0, 1))
+    mag = np.sqrt(gx * gx + gy * gy).max(axis=2)
+    edge = np.clip(255.0 - mag * 6.0, 0, 255).astype(np.uint8)
+    return np.repeat(edge[:, :, None], 3, axis=2)
+
+
+def stage(dataroot, seed=7):
+    from PIL import Image
+    rng = np.random.RandomState(seed)
+    counts = {'train': TRAIN_PER_CLASS, 'test': TEST_PER_CLASS}
+    for split, per_class in counts.items():
+        for cls in range(NUM_CLASSES):
+            d = os.path.join(dataroot, 'genshapes', split, str(cls))
+            os.makedirs(d, exist_ok=True)
+            for i in range(per_class):
+                photo = _draw_photo(rng, cls)
+                pair = np.concatenate([_edge_map(photo), photo], axis=1)
+                Image.fromarray(pair).save(
+                    os.path.join(d, f'{i:04d}.png'))
+    return counts['train'] * NUM_CLASSES, counts['test'] * NUM_CLASSES
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    outdir = sys.argv[2] if len(sys.argv) > 2 else 'docs'
+    lr = float(sys.argv[3]) if len(sys.argv) > 3 else 2e-4
+    dataroot = '/tmp/edgegan_gqdata'
+    outputs = '/tmp/edgegan_gqrun'
+    shutil.rmtree(dataroot, ignore_errors=True)
+    shutil.rmtree(outputs, ignore_errors=True)
+    n_train, n_test = stage(dataroot)
+    steps_per_epoch = n_train // 64
+    epochs = (steps + steps_per_epoch - 1) // steps_per_epoch
+    print(f'staged {n_train} train / {n_test} held-out pairs; '
+          f'{epochs} epochs x {steps_per_epoch} steps')
+
+    common = [
+        '--dataroot', dataroot, '--dataset', 'genshapes',
+        '--num_classes', str(NUM_CLASSES),
+        '--name', 'gqrun', '--outputsroot', outputs,
+    ]
+    from edgegan_tpu.cli.train import main as train_main
+    try:
+        train_main(common + [
+            '--learning_rate', str(lr),
+            '--epoch', str(epochs),
+            '--save_checkpoint_frequency', '50',
+            '--keep_checkpoint_max', '12',
+            '--nan_policy', 'halt',     # stop at divergence onset, if any
+        ])
+    except SystemExit as e:             # halt exits 1; still evaluate the
+        print(f'train halted (exit {e.code}); evaluating last finite '
+              f'checkpoint')            # last finite checkpoint below
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from multiclass_real_run import prune_nonfinite_checkpoints
+    ckpt_dir = os.path.join(outputs, 'gqrun', 'checkpoints')
+    used_step, pruned = prune_nonfinite_checkpoints(ckpt_dir)
+    print(f'evaluating checkpoint step {used_step} '
+          f'(pruned non-finite: {pruned})')
+
+    import contextlib
+    import io
+
+    import evaluate as evaluate_cli
+    evals = {}
+    for split, limit, batch in [('train', 512, 32), ('test', 96, 32)]:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            evaluate_cli.main(common + ['--split', split,
+                                        '--limit', str(limit),
+                                        '--eval_batch', str(batch)])
+        evals[split] = json.loads(buf.getvalue().strip().splitlines()[-1])
+        print(split, evals[split])
+
+    # held-out samples through the real test CLI (2 sketches per class)
+    sample_root = os.path.join(dataroot, 'gensamples')
+    for cls in range(NUM_CLASSES):
+        d = os.path.join(sample_root, 'test', str(cls))
+        os.makedirs(d, exist_ok=True)
+        for src in sorted(glob.glob(os.path.join(
+                dataroot, 'genshapes', 'test', str(cls), '*.png')))[:2]:
+            shutil.copy(src, os.path.join(d, os.path.basename(src)))
+    from edgegan_tpu.cli.test import main as test_main
+    test_main(['--dataroot', dataroot, '--dataset', 'gensamples',
+               '--num_classes', str(NUM_CLASSES),
+               '--name', 'gqrun', '--outputsroot', outputs])
+
+    os.makedirs(outdir, exist_ok=True)
+    from PIL import Image
+    out_pngs = sorted(glob.glob(os.path.join(
+        outputs, 'gqrun', 'test_output', 'gensamples', '*', '*.png')))
+    rows = [np.asarray(Image.open(p)) for p in out_pngs]
+    grid = np.concatenate(rows, axis=0)
+    Image.fromarray(grid).save(os.path.join(outdir, 'gq_samples.png'))
+
+    metrics_path = os.path.join(outputs, 'gqrun', 'logs', 'metrics.jsonl')
+    shutil.copy(metrics_path, os.path.join(outdir, 'gq_metrics.jsonl'))
+    rows_m = [json.loads(line) for line in open(metrics_path)]
+
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    keys = ['joint_dis_dloss', 'edge_dis_dloss', 'image_dis_dloss',
+            'loss_d_ac', 'edge_gloss', 'image_gloss', 'loss_g_ac',
+            'zl_loss']
+    fig, axes = plt.subplots(2, 4, figsize=(16, 6))
+    xs = [r['step'] for r in rows_m]
+    for ax, k in zip(axes.ravel(), keys):
+        ax.plot(xs, [r[k] for r in rows_m], linewidth=0.8)
+        ax.set_title(k)
+        ax.set_xlabel('step')
+    fig.suptitle(f'EdgeGAN-TPU generalization run: 4-class procedural '
+                 f'shapes ({n_train} train / {n_test} held-out pairs, '
+                 f'batch 64, faithful update, f32)')
+    fig.tight_layout()
+    fig.savefig(os.path.join(outdir, 'gq_curves.png'), dpi=110)
+
+    finite = sum(1 for r in rows_m
+                 if all(np.isfinite(v) for v in r.values()))
+    summary = {
+        'steps_run': len(rows_m),
+        'steps_finite': finite,
+        'checkpoint_evaluated': used_step,
+        'pruned_nonfinite_checkpoints': pruned,
+        'n_train_pairs': n_train,
+        'n_heldout_pairs': n_test,
+        'eval': evals,
+        'note': 'held-out pairs the model never saw; every pair is a '
+                'distinct randomized scene, so held-out reconstruction '
+                'requires a learned sketch->photo mapping',
+    }
+    with open(os.path.join(outdir, 'gq_eval.json'), 'w') as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == '__main__':
+    main()
