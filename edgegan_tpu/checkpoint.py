@@ -100,17 +100,25 @@ def load(checkpoint_dir: str, abstract_state: Any) -> Tuple[bool, int, Any]:
     return _restore_newest(checkpoint_dir, restore_one)
 
 
-def load_raw(checkpoint_dir: str) -> Tuple[bool, int, Any]:
+def load_raw(checkpoint_dir: str,
+             step: Optional[int] = None) -> Tuple[bool, int, Any]:
     """Restore the newest readable checkpoint WITHOUT a target tree.
 
     Returns the stored pytree as host arrays. Used by the test CLI,
     which — like the reference test graph (models/edgegan.py:519-547)
     — only needs the E/G1/G2 subtrees and must not depend on the
     train-time discriminator configuration.
+
+    `step` pins a specific retained checkpoint instead of the newest —
+    used by quality-trajectory sweeps (scripts/fid_curve.py).
     """
     ckptr = ocp.PyTreeCheckpointer()
 
-    def restore_one(step):
-        return ckptr.restore(_ckpt_path(checkpoint_dir, step))
+    def restore_one(s):
+        return ckptr.restore(_ckpt_path(checkpoint_dir, s))
 
+    if step is not None:
+        if step not in _all_steps(checkpoint_dir):
+            return False, 0, None
+        return True, step, restore_one(step)
     return _restore_newest(checkpoint_dir, restore_one)

@@ -19,7 +19,7 @@ from ..core.config import Config, add_config_args, config_from_args
 from ..data import Dataset, PrefetchLoader
 from ..parallel import (barrier, batch_sharding, create_mesh,
                         is_process_zero, maybe_distributed_init, put_global,
-                        replicated)
+                        replicated, warm_collectives)
 from ..train import Networks, create_train_state, make_train_step
 from .. import checkpoint as ckpt
 from ..utils import makedirs, show_all_variables
@@ -106,6 +106,12 @@ def main(argv=None):
         dkey = jax.device_put(jax.random.fold_in(rng, 0), replicated(mesh))
         train_step = train_step.lower(state, di, dz, dkey).compile()
         barrier('edgegan_train_step_compiled')
+        # create the Gloo/ICI communicator contexts inside the
+        # synchronized window right after the barrier — the host work
+        # below (SummaryWriter, metrics file, loader) is asymmetric
+        # across processes and can exceed the ~30 s context-creation
+        # deadline on a loaded host (see parallel.warm_collectives)
+        warm_collectives(mesh)
     metrics_log = (open(os.path.join(config.logdir, 'metrics.jsonl'), 'a')
                    if p0 else None)
     from ..summaries import SummaryWriter

@@ -94,6 +94,34 @@ def barrier(name: str, timeout_ms: int = 1_800_000):
         logging.warning('parallel.barrier(%s) unavailable: %s', name, e)
 
 
+def warm_collectives(mesh: Mesh, axis_name: str = 'data'):
+    """Execute one tiny psum over the mesh so the cross-process
+    communicator contexts (Gloo on CPU, ICI/DCN on TPU pods) are
+    created NOW, while the processes are tightly synchronized.
+
+    Context creation happens lazily at the first *executed* collective
+    and has a short (~30 s) peer key-exchange deadline. The host work
+    between the post-compile barrier and the first real train step is
+    asymmetric across processes (process 0 builds the SummaryWriter,
+    opens metrics.jsonl, ...), so on a loaded host the slower process
+    can exceed the deadline and kill its peer's first step. One
+    executed psum right after the barrier moves context creation
+    inside the synchronized window; every later collective reuses the
+    established context. No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    sharding = NamedSharding(mesh, P(axis_name))
+    f = jax.jit(jax.shard_map(lambda x: jax.lax.psum(x, axis_name),
+                              mesh=mesh, in_specs=P(axis_name),
+                              out_specs=P()))
+    local = np.ones((mesh.devices.size // jax.process_count(),),
+                    np.float32)
+    (x,) = put_global(sharding, local)
+    # force execution + completion: the context is only created (and
+    # the race only closed) once the collective actually runs
+    np.asarray(f(x).addressable_data(0))
+
+
 def put_global(sharding: NamedSharding, *arrays):
     """Assemble global device arrays from per-process host shards.
 

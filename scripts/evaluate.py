@@ -47,6 +47,10 @@ def main(argv=None):
     parser.add_argument('--limit', type=int, default=512,
                         help='max images to evaluate')
     parser.add_argument('--eval_batch', type=int, default=32)
+    parser.add_argument('--step', type=int, default=None,
+                        help='evaluate a specific retained checkpoint '
+                             'step instead of the latest (quality-'
+                             'trajectory sweeps)')
     args = parser.parse_args(argv)
     config = config_from_args(args).derive('test')
     enable_compilation_cache()
@@ -56,9 +60,11 @@ def main(argv=None):
                          '(the classifier only exists there)')
 
     nets = Networks(config)
-    loaded, counter, raw = ckpt.load_raw(config.checkpoint_dir)
+    loaded, counter, raw = ckpt.load_raw(config.checkpoint_dir,
+                                         step=args.step)
     if not loaded:
-        raise SystemExit(f'no checkpoint under {config.checkpoint_dir}')
+        raise SystemExit(f'no checkpoint under {config.checkpoint_dir}'
+                         + (f' at step {args.step}' if args.step else ''))
     gen_params = {k: raw['params'][k] for k in ('G1', 'G2', 'E')}
     gen_aux = {k: raw['aux'][k] for k in ('G1', 'G2', 'E')}
     cls_params = {'D2': raw['params']['D2']}

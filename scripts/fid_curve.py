@@ -1,0 +1,100 @@
+"""Quality-trajectory sweep: classifier-FID vs training step.
+
+Evaluates EVERY retained checkpoint of a finished run (scripts/
+evaluate.py --step over the checkpoint ladder) on the train and
+held-out splits and writes a FID-vs-step curve. The reference has no
+quantitative evaluation at all (FID lives only in the paper,
+/root/reference/README.md:2); this is the rebuild's push-button
+quality-trajectory instrument.
+
+Usage:
+  python scripts/fid_curve.py --name gqrun --outputsroot /tmp/edgegan_gqrun \
+      --dataroot /tmp/edgegan_gqdata --dataset genshapes --num_classes 4 \
+      [--outdir docs] [--limit 256] [--splits train,test]
+
+Writes <outdir>/fidcurve.json and <outdir>/fidcurve.png and prints the
+JSON summary.
+"""
+import argparse
+import contextlib
+import io
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser('edgegan_tpu.fid_curve',
+                                     add_help=False)
+    parser.add_argument('--outdir', default='docs')
+    parser.add_argument('--limit', type=int, default=256)
+    parser.add_argument('--eval_batch', type=int, default=32)
+    parser.add_argument('--splits', default='train,test')
+    args, passthrough = parser.parse_known_args(argv)
+
+    # the run directory comes from the passthrough config flags
+    cfg = argparse.ArgumentParser(add_help=False)
+    cfg.add_argument('--name', required=True)
+    cfg.add_argument('--outputsroot', default='outputs')
+    known, _ = cfg.parse_known_args(passthrough)
+    ckpt_dir = os.path.join(known.outputsroot, known.name, 'checkpoints')
+
+    from edgegan_tpu import checkpoint as ckpt
+    import evaluate as evaluate_cli
+
+    steps = ckpt._all_steps(ckpt_dir)
+    if not steps:
+        raise SystemExit(f'no checkpoints under {ckpt_dir}')
+    splits = args.splits.split(',')
+    rows = []
+    for step in steps:
+        row = {'step': step}
+        for split in splits:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                evaluate_cli.main(passthrough + [
+                    '--split', split, '--step', str(step),
+                    '--limit', str(args.limit),
+                    '--eval_batch', str(args.eval_batch)])
+            r = json.loads(buf.getvalue().strip().splitlines()[-1])
+            row[split] = {k: r[k] for k in
+                          ('classifier_fid', 'l1', 'mse', 'psnr_db')}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    summary = {'checkpoint_dir': ckpt_dir, 'n_checkpoints': len(steps),
+               'limit': args.limit, 'curve': rows}
+    with open(os.path.join(args.outdir, 'fidcurve.json'), 'w') as f:
+        json.dump(summary, f, indent=2)
+
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    fig, (ax_fid, ax_l1) = plt.subplots(1, 2, figsize=(11, 4))
+    xs = [r['step'] for r in rows]
+    for split in splits:
+        ax_fid.plot(xs, [r[split]['classifier_fid'] for r in rows],
+                    marker='o', label=split)
+        ax_l1.plot(xs, [r[split]['l1'] for r in rows],
+                   marker='o', label=split)
+    ax_fid.set_yscale('log')
+    ax_fid.set_xlabel('training step')
+    ax_fid.set_ylabel('classifier-FID (log)')
+    ax_fid.legend()
+    ax_l1.set_xlabel('training step')
+    ax_l1.set_ylabel('L1 (real vs generated photo)')
+    ax_l1.legend()
+    fig.suptitle('EdgeGAN-TPU quality trajectory (classifier-feature '
+                 'FID; relative tracking, not InceptionV3 FID)')
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.outdir, 'fidcurve.png'), dpi=110)
+    print(json.dumps({'n_checkpoints': len(steps),
+                      'out': os.path.join(args.outdir, 'fidcurve.json')}))
+
+
+if __name__ == '__main__':
+    main()

@@ -26,9 +26,13 @@ then evaluate train AND held-out splits (classifier-FID + L1/MSE/PSNR),
 run the test CLI on held-out sketches, and write a sample grid.
 
 Usage:  python scripts/genquality_run.py [steps] [outdir] [lr]
+                                         [save_freq] [keep]
   lr: optional learning rate (default the reference's 2e-4; 1e-4 is
   the documented stabilization when the edge critic's WGAN drift NaNs
   a run before `steps` -- see BASELINE.md training-stability note)
+  save_freq/keep: checkpoint cadence + retention (default 50/12; a
+  long run with save_freq=1000, keep=20 retains a checkpoint ladder
+  for the FID-vs-step sweep, scripts/fid_curve.py)
 Writes: <outdir>/gq_curves.png, gq_metrics.jsonl, gq_eval.json,
         gq_samples.png
 """
@@ -154,6 +158,8 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     outdir = sys.argv[2] if len(sys.argv) > 2 else 'docs'
     lr = float(sys.argv[3]) if len(sys.argv) > 3 else 2e-4
+    save_freq = int(sys.argv[4]) if len(sys.argv) > 4 else 50
+    keep = int(sys.argv[5]) if len(sys.argv) > 5 else 12
     dataroot = '/tmp/edgegan_gqdata'
     outputs = '/tmp/edgegan_gqrun'
     shutil.rmtree(dataroot, ignore_errors=True)
@@ -174,8 +180,8 @@ def main():
         train_main(common + [
             '--learning_rate', str(lr),
             '--epoch', str(epochs),
-            '--save_checkpoint_frequency', '50',
-            '--keep_checkpoint_max', '12',
+            '--save_checkpoint_frequency', str(save_freq),
+            '--keep_checkpoint_max', str(keep),
             '--nan_policy', 'halt',     # stop at divergence onset, if any
         ])
     except SystemExit as e:             # halt exits 1; still evaluate the

@@ -108,6 +108,23 @@ def test_load_falls_back_past_corrupt_newest(tmp_path, capsys):
         np.asarray(state.params['G1']['g_lin_0']['Matrix']))
 
 
+def test_load_raw_pinned_step(tmp_path):
+    """load_raw(step=) restores a specific retained checkpoint, not the
+    newest — the quality-trajectory sweep (scripts/fid_curve.py) walks
+    the whole ladder this way."""
+    state = make_state()
+    d = str(tmp_path / 'checkpoints')
+    ckpt.save(d, 502, state)
+    ckpt.save(d, 1002, state)
+    loaded, counter, tree = ckpt.load_raw(d, step=502)
+    assert loaded and counter == 502
+    np.testing.assert_array_equal(
+        np.asarray(tree['params']['G1']['g_lin_0']['Matrix']),
+        np.asarray(state.params['G1']['g_lin_0']['Matrix']))
+    loaded, counter, tree = ckpt.load_raw(d, step=999)
+    assert not loaded and counter == 0 and tree is None
+
+
 def test_load_all_corrupt_returns_false(tmp_path):
     state = make_state()
     d = str(tmp_path / 'checkpoints')

@@ -141,6 +141,69 @@ def test_evaluate_cli_on_heldout_split(tmp_path, capsys):
         assert np.isfinite(out['l1']) and out['l1'] > 0
 
 
+@pytest.mark.slow
+def test_fid_curve_sweep(tmp_path):
+    """scripts/fid_curve.py end to end over a 2-checkpoint ladder:
+    evaluates EVERY retained step on both splits and writes
+    fidcurve.{json,png} (quality-trajectory instrument; the reference
+    has no quantitative evaluation at all)."""
+    import json
+    import os
+
+    import jax
+    from PIL import Image
+
+    from edgegan_tpu import checkpoint as ckpt
+    from edgegan_tpu.core.config import Config
+    from edgegan_tpu.train import Networks, create_train_state
+
+    H, W, NC = 32, 64, 3
+    dataroot = str(tmp_path / 'data')
+    outputs = str(tmp_path / 'outputs')
+    outdir = str(tmp_path / 'docs')
+    rng = np.random.RandomState(13)
+    for split, n in [('train', 4), ('test', 4)]:
+        for cls in range(NC):
+            d = os.path.join(dataroot, 'ds', split, str(cls))
+            os.makedirs(d)
+            for i in range(n):
+                arr = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(os.path.join(d, f'{i}.png'))
+
+    cfg = Config(batch_size=4, num_classes=NC, z_dim=8,
+                 output_height=H, output_width=W,
+                 input_height=H, input_width=W,
+                 image_dis_size=32, edge_dis_size=32,
+                 name='fc', outputsroot=outputs).derive('train')
+    nets = Networks(cfg)
+    os.makedirs(cfg.checkpoint_dir)
+    for step, seed in [(2, 0), (502, 1)]:
+        state = create_train_state(nets, jax.random.PRNGKey(seed),
+                                   cfg.learning_rate)
+        ckpt.save(cfg.checkpoint_dir, step, state)
+
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), 'scripts'))
+    import fid_curve
+    fid_curve.main(['--outdir', outdir, '--limit', '8',
+                    '--eval_batch', '4', '--splits', 'train,test',
+                    '--dataroot', dataroot, '--dataset', 'ds',
+                    '--num_classes', str(NC), '--z_dim', '8',
+                    '--output_height', str(H), '--output_width', str(W),
+                    '--input_height', str(H), '--input_width', str(W),
+                    '--image_dis_size', '32', '--edge_dis_size', '32',
+                    '--name', 'fc', '--outputsroot', outputs])
+    summary = json.load(open(os.path.join(outdir, 'fidcurve.json')))
+    assert summary['n_checkpoints'] == 2
+    assert [r['step'] for r in summary['curve']] == [2, 502]
+    for row in summary['curve']:
+        for split in ('train', 'test'):
+            assert np.isfinite(row[split]['classifier_fid'])
+            assert np.isfinite(row[split]['l1'])
+    assert os.path.exists(os.path.join(outdir, 'fidcurve.png'))
+
+
 def test_classifier_extractor_rejects_singleclass():
     import jax
     from edgegan_tpu.core.config import Config
