@@ -51,6 +51,12 @@ def main(argv=None):
                         help='evaluate a specific retained checkpoint '
                              'step instead of the latest (quality-'
                              'trajectory sweeps)')
+    parser.add_argument('--extractor_step', type=int, default=None,
+                        help='take the classifier FID-feature extractor '
+                             'from THIS checkpoint step (default: same '
+                             'checkpoint as --step). Trajectory sweeps '
+                             'must pin one extractor so every point is '
+                             'measured in the SAME feature space')
     args = parser.parse_args(argv)
     config = config_from_args(args).derive('test')
     enable_compilation_cache()
@@ -67,8 +73,17 @@ def main(argv=None):
                          + (f' at step {args.step}' if args.step else ''))
     gen_params = {k: raw['params'][k] for k in ('G1', 'G2', 'E')}
     gen_aux = {k: raw['aux'][k] for k in ('G1', 'G2', 'E')}
-    cls_params = {'D2': raw['params']['D2']}
-    cls_aux = {'D2': raw['aux']['D2']}
+    if args.extractor_step is not None and args.extractor_step != counter:
+        eloaded, _, eraw = ckpt.load_raw(config.checkpoint_dir,
+                                         step=args.extractor_step)
+        if not eloaded:
+            raise SystemExit(f'no checkpoint at extractor_step '
+                             f'{args.extractor_step} under '
+                             f'{config.checkpoint_dir}')
+    else:
+        eraw = raw
+    cls_params = {'D2': eraw['params']['D2']}
+    cls_aux = {'D2': eraw['aux']['D2']}
 
     dataset_config = {
         'input_height': config.input_height,
@@ -103,6 +118,8 @@ def main(argv=None):
     recon = reconstruction_metrics(reals, fakes)
     print(json.dumps({
         'checkpoint_step': counter,
+        'extractor_step': (args.extractor_step
+                           if args.extractor_step is not None else counter),
         'split': args.split,
         'n_images': int(len(fakes)),
         'classifier_fid': round(float(fid_like), 4),

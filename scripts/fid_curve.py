@@ -7,6 +7,12 @@ quantitative evaluation at all (FID lives only in the paper,
 /root/reference/README.md:2); this is the rebuild's push-button
 quality-trajectory instrument.
 
+The FID feature extractor (the run's own AC-GAN classifier) is PINNED
+to one checkpoint for the whole sweep — by default the last retained
+step — so every point is measured in the same feature space. Without
+pinning, each step would score in its own (still-training) classifier's
+space and the curve would not be comparable across steps.
+
 Usage:
   python scripts/fid_curve.py --name gqrun --outputsroot /tmp/edgegan_gqrun \
       --dataroot /tmp/edgegan_gqdata --dataset genshapes --num_classes 4 \
@@ -33,6 +39,10 @@ def main(argv=None):
     parser.add_argument('--limit', type=int, default=256)
     parser.add_argument('--eval_batch', type=int, default=32)
     parser.add_argument('--splits', default='train,test')
+    parser.add_argument('--extractor_step', type=int, default=None,
+                        help='checkpoint whose classifier scores the '
+                             'whole sweep (default: the last retained '
+                             'step)')
     args, passthrough = parser.parse_known_args(argv)
 
     # the run directory comes from the passthrough config flags
@@ -48,6 +58,8 @@ def main(argv=None):
     steps = ckpt._all_steps(ckpt_dir)
     if not steps:
         raise SystemExit(f'no checkpoints under {ckpt_dir}')
+    extractor_step = (args.extractor_step if args.extractor_step is not None
+                      else steps[-1])
     splits = args.splits.split(',')
     rows = []
     for step in steps:
@@ -57,6 +69,7 @@ def main(argv=None):
             with contextlib.redirect_stdout(buf):
                 evaluate_cli.main(passthrough + [
                     '--split', split, '--step', str(step),
+                    '--extractor_step', str(extractor_step),
                     '--limit', str(args.limit),
                     '--eval_batch', str(args.eval_batch)])
             r = json.loads(buf.getvalue().strip().splitlines()[-1])
@@ -67,6 +80,7 @@ def main(argv=None):
 
     os.makedirs(args.outdir, exist_ok=True)
     summary = {'checkpoint_dir': ckpt_dir, 'n_checkpoints': len(steps),
+               'extractor_step': extractor_step,
                'limit': args.limit, 'curve': rows}
     with open(os.path.join(args.outdir, 'fidcurve.json'), 'w') as f:
         json.dump(summary, f, indent=2)
@@ -88,8 +102,9 @@ def main(argv=None):
     ax_l1.set_xlabel('training step')
     ax_l1.set_ylabel('L1 (real vs generated photo)')
     ax_l1.legend()
-    fig.suptitle('EdgeGAN-TPU quality trajectory (classifier-feature '
-                 'FID; relative tracking, not InceptionV3 FID)')
+    fig.suptitle(f'EdgeGAN-TPU quality trajectory (classifier-feature '
+                 f'FID in the step-{extractor_step} classifier space; '
+                 f'relative tracking, not InceptionV3 FID)')
     fig.tight_layout()
     fig.savefig(os.path.join(args.outdir, 'fidcurve.png'), dpi=110)
     print(json.dumps({'n_checkpoints': len(steps),

@@ -196,6 +196,9 @@ def test_fid_curve_sweep(tmp_path):
                     '--name', 'fc', '--outputsroot', outputs])
     summary = json.load(open(os.path.join(outdir, 'fidcurve.json')))
     assert summary['n_checkpoints'] == 2
+    # feature space pinned to ONE classifier (the last retained step)
+    # so the curve is comparable across steps
+    assert summary['extractor_step'] == 502
     assert [r['step'] for r in summary['curve']] == [2, 502]
     for row in summary['curve']:
         for split in ('train', 'test'):
