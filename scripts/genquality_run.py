@@ -27,6 +27,7 @@ run the test CLI on held-out sketches, and write a sample grid.
 
 Usage:  python scripts/genquality_run.py [steps] [outdir] [lr]
                                          [save_freq] [keep]
+                                         [train_per_class] [test_per_class]
   lr: optional learning rate (default the reference's 2e-4; 1e-4 is
   the documented stabilization when the edge critic's WGAN drift NaNs
   a run before `steps` -- see BASELINE.md training-stability note)
@@ -138,10 +139,11 @@ def _edge_map(photo):
     return np.repeat(edge[:, :, None], 3, axis=2)
 
 
-def stage(dataroot, seed=7):
+def stage(dataroot, seed=7, train_per_class=TRAIN_PER_CLASS,
+          test_per_class=TEST_PER_CLASS):
     from PIL import Image
     rng = np.random.RandomState(seed)
-    counts = {'train': TRAIN_PER_CLASS, 'test': TEST_PER_CLASS}
+    counts = {'train': train_per_class, 'test': test_per_class}
     for split, per_class in counts.items():
         for cls in range(NUM_CLASSES):
             d = os.path.join(dataroot, 'genshapes', split, str(cls))
@@ -160,11 +162,16 @@ def main():
     lr = float(sys.argv[3]) if len(sys.argv) > 3 else 2e-4
     save_freq = int(sys.argv[4]) if len(sys.argv) > 4 else 50
     keep = int(sys.argv[5]) if len(sys.argv) > 5 else 12
+    train_per_class = (int(sys.argv[6]) if len(sys.argv) > 6
+                       else TRAIN_PER_CLASS)
+    test_per_class = (int(sys.argv[7]) if len(sys.argv) > 7
+                      else TEST_PER_CLASS)
     dataroot = '/tmp/edgegan_gqdata'
     outputs = '/tmp/edgegan_gqrun'
     shutil.rmtree(dataroot, ignore_errors=True)
     shutil.rmtree(outputs, ignore_errors=True)
-    n_train, n_test = stage(dataroot)
+    n_train, n_test = stage(dataroot, train_per_class=train_per_class,
+                            test_per_class=test_per_class)
     steps_per_epoch = n_train // 64
     epochs = (steps + steps_per_epoch - 1) // steps_per_epoch
     print(f'staged {n_train} train / {n_test} held-out pairs; '
@@ -200,7 +207,8 @@ def main():
 
     import evaluate as evaluate_cli
     evals = {}
-    for split, limit, batch in [('train', 512, 32), ('test', 96, 32)]:
+    for split, limit, batch in [('train', min(512, n_train), 32),
+                                ('test', min(512, n_test), 32)]:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             evaluate_cli.main(common + ['--split', split,
