@@ -187,9 +187,32 @@ def _cls_spectral_rules(scope: str = 'D2'):
     return rules
 
 
+class UnsupportedArchitecture(ValueError):
+    """The TF name mapping covers only the reference's default
+    architecture (convnet G/D, resnet E — reference train.py:48-50)."""
+
+
+def _check_architecture(config):
+    deviations = []
+    if getattr(config, 'if_resnet_g', False):
+        deviations.append('if_resnet_g=True (resnet generator)')
+    if getattr(config, 'if_resnet_d', False):
+        deviations.append('if_resnet_d=True (resnet discriminator)')
+    if not getattr(config, 'if_resnet_e', True):
+        deviations.append('if_resnet_e=False (convnet encoder)')
+    if deviations:
+        raise UnsupportedArchitecture(
+            'TF checkpoint mapping supports only the default architecture '
+            '(convnet G/D, resnet E); config deviates: '
+            + ', '.join(deviations))
+
+
 def param_rules(config) -> Tuple[list, list]:
     """(param rules, aux rules) for the default (convnet G/D, resnet E)
-    architecture."""
+    architecture. Raises UnsupportedArchitecture for resnet-G/D or
+    convnet-E configs, which would otherwise generate wrong-named rules
+    and surface as a confusing KeyError downstream."""
+    _check_architecture(config)
     params = (_gen_rules('G1') + _gen_rules('G2')
               + _dis_rules('D') + _enc_rules('E'))
     aux = _gen_stats_rules('G1') + _gen_stats_rules('G2')
@@ -210,16 +233,20 @@ def _set_path(tree: Dict, path: Tuple[str, ...], value):
     node[path[-1]] = value
 
 
-def import_tf_npz(npz_path: str, config) -> Tuple[Dict, Dict]:
+def import_tf_npz(npz_path: str, config, validate: bool = True
+                  ) -> Tuple[Dict, Dict]:
     """Build (params, aux) trees from a TF-variable npz dump.
 
     aux is keyed per network with the flax collection layout:
     {'G1': {'batch_stats': {...}}, 'D2': {'spectral': {...}}, ...}.
-    Raises KeyError listing any missing TF variables.
+    Raises KeyError listing any missing TF variables, and (unless
+    validate=False) ValueError if the imported trees don't match a
+    freshly-initialised model's structure/shapes — catching
+    wrong-size-config imports at import time instead of at first use.
     """
+    p_rules, a_rules = param_rules(config)  # arch check before file IO
     data = np.load(npz_path)
     available = set(data.files)
-    p_rules, a_rules = param_rules(config)
     missing = [tf for _, tf, _ in p_rules + a_rules if tf not in available]
     if missing:
         raise KeyError(f'npz missing {len(missing)} variables, e.g. '
@@ -236,6 +263,13 @@ def import_tf_npz(npz_path: str, config) -> Tuple[Dict, Dict]:
         collection = 'spectral' if ours[-1] == 'u' else 'batch_stats'
         _set_path(aux, (ours[0], collection) + ours[1:],
                   fix(arr) if fix else arr)
+    if validate:
+        problems = check_against(params, aux, config)
+        if problems:
+            lines = [f'  {"/".join(p)}: {msg}' for p, msg in problems[:10]]
+            raise ValueError(
+                f'imported npz does not match the configured model '
+                f'({len(problems)} mismatches):\n' + '\n'.join(lines))
     return params, aux
 
 
