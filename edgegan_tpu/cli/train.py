@@ -114,6 +114,13 @@ def main(argv=None):
         warm_collectives(mesh)
     metrics_log = (open(os.path.join(config.logdir, 'metrics.jsonl'), 'a')
                    if p0 else None)
+    if p0 and loaded:
+        # resume contract (utils/metrics_io.py): the file is appended
+        # across restarts, so steps after the restored counter appear
+        # twice; mark the resume point and let read_metrics dedupe by
+        # last write.
+        metrics_log.write(json.dumps({'resumed_at': counter}) + '\n')
+        metrics_log.flush()
     from ..summaries import SummaryWriter
     tb = SummaryWriter(config.logdir, nets, config) if p0 else None
 

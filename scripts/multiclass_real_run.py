@@ -138,7 +138,8 @@ def main():
 
     metrics_path = os.path.join(outputs, 'mcrun', 'logs', 'metrics.jsonl')
     shutil.copy(metrics_path, os.path.join(outdir, 'mc_run_metrics.jsonl'))
-    rows_m = [json.loads(line) for line in open(metrics_path)]
+    from edgegan_tpu.utils import read_metrics
+    rows_m = read_metrics(metrics_path)  # dedupes resumed steps
 
     import matplotlib
     matplotlib.use('Agg')

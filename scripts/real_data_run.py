@@ -53,7 +53,8 @@ def main():
     ])
 
     metrics_path = os.path.join(outputs, 'realrun', 'logs', 'metrics.jsonl')
-    rows = [json.loads(line) for line in open(metrics_path)]
+    from edgegan_tpu.utils import read_metrics
+    rows = read_metrics(metrics_path)  # dedupes resumed steps
     os.makedirs(outdir, exist_ok=True)
     shutil.copy(metrics_path, os.path.join(outdir, 'real_run_metrics.jsonl'))
 

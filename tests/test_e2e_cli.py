@@ -274,13 +274,17 @@ def test_two_process_resume(tmp_path):
         for p, out in zip(procs, outs):
             assert p.returncode == 0, (launch, out[-4000:])
     assert 'Load SUCCESS' in outs[0]
-    lines = [json.loads(line) for line in
-             open(os.path.join(outputs, 'mp', 'logs', 'metrics.jsonl'))]
-    # first launch logs steps 2,3,4 (save at 2); resume continues 3,4,5
-    assert [m['step'] for m in lines] == [2, 3, 4, 3, 4, 5]
+    metrics_path = os.path.join(outputs, 'mp', 'logs', 'metrics.jsonl')
+    lines = [json.loads(line) for line in open(metrics_path)]
+    # first launch logs steps 2,3,4 (save at 2); resumed_at marker;
+    # resume continues 3,4,5 (the resume contract, utils/metrics_io.py)
+    assert [m.get('step') for m in lines] == [2, 3, 4, None, 3, 4, 5]
     for m in lines:
         for k, v in m.items():
             assert np.isfinite(v), (k, m)
+    from edgegan_tpu.utils import read_metrics, read_resume_markers
+    assert read_resume_markers(metrics_path) == [2]
+    assert [m['step'] for m in read_metrics(metrics_path)] == [2, 3, 4, 5]
 
 
 @pytest.mark.slow
@@ -365,7 +369,16 @@ def test_train_resumes_from_checkpoint(tmp_path):
         '--save_checkpoint_frequency', '3']
     cli_train.main(flags)  # counters 2,3,4 -> saves at 2
     cli_train.main(flags)  # resumes at 2, runs 3 more steps
-    lines = [json.loads(line) for line in
-             open(os.path.join(outputs, 'e2e', 'logs', 'metrics.jsonl'))]
-    # first run logs steps 2,3,4; resumed run continues 3,4,5
-    assert [m['step'] for m in lines] == [2, 3, 4, 3, 4, 5]
+    metrics_path = os.path.join(outputs, 'e2e', 'logs', 'metrics.jsonl')
+    lines = [json.loads(line) for line in open(metrics_path)]
+    # raw file: first run logs steps 2,3,4; a resumed_at marker; the
+    # resumed run continues 3,4,5 (appended — the resume CONTRACT,
+    # utils/metrics_io.py)
+    assert [m.get('step') for m in lines] == [2, 3, 4, None, 3, 4, 5]
+    from edgegan_tpu.utils import read_metrics, read_resume_markers
+    assert read_resume_markers(metrics_path) == [2]
+    rows = read_metrics(metrics_path)
+    # contract reader: unique steps, resumed run's values win
+    assert [m['step'] for m in rows] == [2, 3, 4, 5]
+    resumed_3 = [m for m in lines if m.get('step') == 3][-1]
+    assert rows[1] == resumed_3
