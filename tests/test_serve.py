@@ -1,6 +1,7 @@
 """Serving tests: dynamic batcher + HTTP endpoint (edgegan_tpu/serve.py)."""
 import io
 import threading
+import time
 
 import jax
 import numpy as np
@@ -247,3 +248,143 @@ def test_http_bad_requests(served):
     conn = http.client.HTTPConnection('127.0.0.1', port, timeout=60)
     conn.request('POST', '/nope', body=b'')
     assert conn.getresponse().status == 404
+
+
+class _GatedArray:
+    """Stands in for an in-flight device result: np.asarray blocks
+    until the gate opens, simulating a slow device."""
+
+    def __init__(self, shape, gate):
+        self._shape = shape
+        self._gate = gate
+
+    def __array__(self, dtype=None, copy=None):
+        assert self._gate.wait(timeout=120), 'gate never opened'
+        return np.zeros(self._shape, np.float32)
+
+
+def _gated_batcher(max_batch=2, depth=1, max_queue=4):
+    """A Batcher whose device step is replaced by a gate-controlled
+    stub, so the submit queue can be filled deterministically."""
+    gate = threading.Event()
+
+    def never_called(*a, **k):  # forward unused once _step_fn replaced
+        raise AssertionError('real forward should not run')
+
+    b = Batcher(never_called, {}, {}, (H, W), 3, max_batch=max_batch,
+                max_wait_ms=1.0, depth=depth, transfer_dtype='float32',
+                max_queue=max_queue)
+    b._step_fn = lambda images, classes, idx: _GatedArray(
+        (images.shape[0], H, W // 2, 3), gate)
+    return b, gate
+
+
+def test_overload_sheds_immediately_and_recovers():
+    """Bounded submit queue (VERDICT r3 weak #2): beyond max_queue,
+    submit raises Overloaded IMMEDIATELY; every accepted request is
+    still answered; the pipeline stays healthy."""
+    from edgegan_tpu.serve import Overloaded
+    b, gate = _gated_batcher(max_batch=2, depth=1, max_queue=4)
+    img = np.zeros((H, W, 3), np.float32)
+    try:
+        accepted, shed = [], 0
+        t0 = time.time()
+        for _ in range(20):
+            try:
+                accepted.append(b.submit(img, 0))
+            except Overloaded:
+                shed += 1
+        elapsed = time.time() - t0
+        assert shed > 0, 'queue bound never triggered'
+        # shedding is immediate, not a 60 s handler block
+        assert elapsed < 5.0, elapsed
+        # accepted <= queue bound + batches already pulled into the
+        # dispatch/inflight pipeline (max_queue + 2*max_batch slack)
+        assert len(accepted) <= 4 + 2 * 2 + 2, len(accepted)
+        assert b.stats()['shed'] == shed
+        gate.set()  # device "completes"
+        for out in accepted:  # none hang
+            res = out.get(timeout=60)
+            assert isinstance(res, np.ndarray), res
+        assert b.healthy()
+        # pipeline still serves new work after the overload episode
+        out = b.submit(img, 1).get(timeout=60)
+        assert isinstance(out, np.ndarray)
+    finally:
+        gate.set()
+        b.stop()
+
+
+def test_http_overload_returns_503_with_retry_after():
+    """Overload through the full HTTP stack: shed requests get an
+    immediate 503 + Retry-After, none hang, healthz stays ok and
+    counts the sheds."""
+    import http.client
+    import json as _json
+    b, gate = _gated_batcher(max_batch=2, depth=1, max_queue=2)
+    cfg = Config(batch_size=4, num_classes=3, z_dim=8,
+                 output_height=H, output_width=W,
+                 input_height=H, input_width=W,
+                 image_dis_size=32, edge_dis_size=32).derive('test')
+    server = make_server(cfg, b, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_address[1]
+    img = np.zeros((H, W, 3), '<f4')
+    statuses, retry_after = [], []
+
+    def post():
+        conn = http.client.HTTPConnection('127.0.0.1', port, timeout=120)
+        conn.request('POST', '/generate?raw=1', body=img.tobytes())
+        resp = conn.getresponse()
+        statuses.append(resp.status)
+        if resp.status == 503:
+            retry_after.append(resp.getheader('Retry-After'))
+        resp.read()
+
+    try:
+        threads = [threading.Thread(target=post) for _ in range(16)]
+        for t in threads:
+            t.start()
+        time.sleep(2.0)  # everything queued/blocked; sheds already back
+        n_shed_now = statuses.count(503)
+        assert n_shed_now > 0, statuses
+        assert all(r == '1' for r in retry_after)
+        gate.set()
+        for t in threads:
+            t.join(timeout=120)
+        assert not any(t.is_alive() for t in threads), 'requests hung'
+        assert statuses.count(200) + statuses.count(503) == 16, statuses
+        assert statuses.count(200) >= 1
+        # server healthy after the episode
+        conn = http.client.HTTPConnection('127.0.0.1', port, timeout=60)
+        conn.request('GET', '/healthz')
+        health = conn.getresponse()
+        assert health.status == 200
+        stats = _json.loads(health.read())
+        assert stats['ok'] and stats['shed'] >= n_shed_now
+    finally:
+        gate.set()
+        server.shutdown()
+        b.stop()
+
+
+def test_drain_then_stop():
+    """stop(drain=True): accepted requests are all answered, new
+    submits are shed, then the threads exit."""
+    from edgegan_tpu.serve import Overloaded
+    b, gate = _gated_batcher(max_batch=2, depth=1, max_queue=8)
+    img = np.zeros((H, W, 3), np.float32)
+    outs = [b.submit(img, 0) for _ in range(3)]
+    stopper = threading.Thread(target=lambda: b.stop(drain=True,
+                                                     timeout=60))
+    stopper.start()
+    time.sleep(0.3)  # draining flag set, device still "busy"
+    with pytest.raises(Overloaded, match='draining'):
+        b.submit(img, 0)
+    gate.set()
+    stopper.join(timeout=120)
+    assert not stopper.is_alive()
+    for out in outs:  # every accepted request was answered pre-stop
+        assert isinstance(out.get_nowait(), np.ndarray)
+    assert not b.thread.is_alive() and not b.sync_thread.is_alive()
