@@ -122,6 +122,10 @@ def gradient_penalty(d_apply, synthesized, real, rng, weight):
     sumsq = jnp.sum(jnp.square(grads), axis=(1, 2, 3))
     # sqrt backward is inf at 0; a sample with identically-zero critic
     # gradient would NaN the whole step (same hazard in the reference).
-    grad_l2 = jnp.sqrt(jnp.where(sumsq > 0, sumsq, 1.0))
-    grad_l2 = jnp.where(sumsq > 0, grad_l2, 0.0)
+    from .ops.norms import nan_guards_enabled
+    if nan_guards_enabled():
+        grad_l2 = jnp.sqrt(jnp.where(sumsq > 0, sumsq, 1.0))
+        grad_l2 = jnp.where(sumsq > 0, grad_l2, 0.0)
+    else:  # reference-exact (functional.py:26-29)
+        grad_l2 = jnp.sqrt(sumsq)
     return weight * jnp.mean((grad_l2 - 1.0) ** 2)

@@ -395,9 +395,14 @@ class MRUBlock(nn.Module):
             rg_max = jnp.max(rg, axis=(1, 2), keepdims=True)
             # spatially-constant gate -> 0/0 NaN in the reference; guard
             # to a zero gate (identical everywhere the reference is
-            # finite)
+            # finite). EDGEGAN_NAN_GUARDS=0 restores the reference-exact
+            # hazard (stability ablation switch, ops/norms.py).
             rg_range = rg_max - rg_min
-            rg = (rg - rg_min) / jnp.where(rg_range > 0, rg_range, 1.0)
+            from ..ops.norms import nan_guards_enabled
+            if nan_guards_enabled():
+                rg = (rg - rg_min) / jnp.where(rg_range > 0, rg_range, 1.0)
+            else:  # reference conv.py:197-198
+                rg = (rg - rg_min) / rg_range
             ht_plus = ht + rg * img_new
         ht_new_in = PReLU(name='norm_activation_merge_1_prelu')(ht_plus)
         # two 3x3 convs (reference conv.py:213-224)

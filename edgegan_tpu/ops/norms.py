@@ -19,8 +19,21 @@ compute stays numerically stable on TPU.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def nan_guards_enabled() -> bool:
+    """EDGEGAN_NAN_GUARDS=0 disables the rebuild's zero-variance /
+    zero-gradient `where` guards (SURVEY Q16) everywhere, making the
+    numerics reference-exact INCLUDING the reference's latent NaN
+    hazards. Read at trace time. Exists for the stability ablation
+    (scripts/stability_ablation.py): if divergence onset moved with the
+    guards, they would not be the value-identical safeguards they claim
+    to be."""
+    return os.environ.get('EDGEGAN_NAN_GUARDS', '1') != '0'
 
 
 def instance_norm(x, eps: float = 1e-5):
@@ -42,20 +55,27 @@ def instance_norm(x, eps: float = 1e-5):
     the critics) into f32, doubling HBM traffic on the largest
     activations. Plain ops only, so any-order autodiff works.
     """
+    guard = nan_guards_enabled()
     if x.dtype == jnp.float32:
         mean = jnp.mean(x, axis=(1, 2), keepdims=True)
         var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-        nondegenerate = var > 0
-        safe_var = jnp.where(nondegenerate, var, 1.0)
-        denom = jnp.where(nondegenerate, jnp.sqrt(safe_var) + eps, eps)
+        if guard:
+            nondegenerate = var > 0
+            safe_var = jnp.where(nondegenerate, var, 1.0)
+            denom = jnp.where(nondegenerate, jnp.sqrt(safe_var) + eps, eps)
+        else:  # reference-exact (normalization.py:14-17)
+            denom = jnp.sqrt(var) + eps
         return (x - mean) / denom
     mean32 = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
     diff = x - mean32.astype(x.dtype)
     var = jnp.mean(jnp.square(diff), axis=(1, 2), keepdims=True,
                    dtype=jnp.float32)
-    nondegenerate = var > 0
-    safe_var = jnp.where(nondegenerate, var, 1.0)
-    denom = jnp.where(nondegenerate, jnp.sqrt(safe_var) + eps, eps)
+    if guard:
+        nondegenerate = var > 0
+        safe_var = jnp.where(nondegenerate, var, 1.0)
+        denom = jnp.where(nondegenerate, jnp.sqrt(safe_var) + eps, eps)
+    else:
+        denom = jnp.sqrt(var) + eps
     return diff * (1.0 / denom).astype(x.dtype)
 
 

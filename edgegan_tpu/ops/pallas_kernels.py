@@ -35,12 +35,20 @@ _ENABLED: Optional[bool] = None
 def should_use() -> bool:
     """Use the Pallas kernels iff running on TPU (env override:
     EDGEGAN_PALLAS=0/1). Numerics are identical to the jnp path
-    (tested), so this is purely a scheduling choice."""
+    (tested), so this is purely a scheduling choice.
+
+    EDGEGAN_NAN_GUARDS=0 (the reference-exact stability-ablation mode,
+    ops/norms.py) also disables them: the kernels implement the
+    GUARDED semantics, so the unguarded mode must take the plain XLA
+    path everywhere."""
     global _ENABLED
     if _ENABLED is None:
         import os
+        from .norms import nan_guards_enabled
         env = os.environ.get('EDGEGAN_PALLAS')
-        if env is not None:
+        if not nan_guards_enabled():
+            _ENABLED = False
+        elif env is not None:
             _ENABLED = env not in ('0', 'false', '')
         else:
             backend = jax.default_backend()

@@ -185,3 +185,54 @@ class TestResize:
         x = jnp.array([[1.0, 2.0, 3.0, 4.0]]).reshape(1, 1, 4, 1)
         out = np.array(ops.resize(x, (1, 2), 'bilinear'))[0, 0, :, 0]
         np.testing.assert_allclose(out, [1.0, 3.0])
+
+
+class TestNanGuardSwitch:
+    """EDGEGAN_NAN_GUARDS=0 restores the reference-exact hazards
+    (SURVEY Q16) for the stability ablation; default guards must be
+    value-identical wherever the reference is finite."""
+
+    def test_instance_norm_guard_vs_reference_exact(self, monkeypatch):
+        const = jnp.ones((1, 4, 4, 2), jnp.float32)  # zero variance
+
+        def loss(x):
+            return jnp.sum(ops.instance_norm(x))
+
+        monkeypatch.delenv('EDGEGAN_NAN_GUARDS', raising=False)
+        assert np.isfinite(jax.grad(loss)(const)).all()
+        monkeypatch.setenv('EDGEGAN_NAN_GUARDS', '0')
+        assert np.isnan(jax.grad(loss)(const)).any()
+
+        # non-degenerate input: both modes bit-identical, fwd and grad
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 3),
+                        jnp.float32)
+        unguarded_f = ops.instance_norm(x)
+        unguarded_g = jax.grad(loss)(x)
+        monkeypatch.delenv('EDGEGAN_NAN_GUARDS', raising=False)
+        np.testing.assert_array_equal(ops.instance_norm(x), unguarded_f)
+        np.testing.assert_array_equal(jax.grad(loss)(x), unguarded_g)
+
+    def test_gradient_penalty_guard_vs_reference_exact(self, monkeypatch):
+        from edgegan_tpu import losses
+
+        def critic(x):
+            # input-gradient is x: VALUE zero at x=0 but not
+            # structurally zero, so the sqrt-at-0 backward hazard is
+            # live (a dead critic's constant output gets zero-pruned)
+            v = 0.5 * jnp.sum(jnp.square(x), axis=(1, 2, 3))
+            return v, jnp.zeros(x.shape[0])
+
+        rng = jax.random.PRNGKey(0)
+        real = jnp.zeros((2, 4, 4, 3))
+        fake = jnp.zeros((2, 4, 4, 3))  # blend = 0 -> critic grad = 0
+        monkeypatch.delenv('EDGEGAN_NAN_GUARDS', raising=False)
+        gp = losses.gradient_penalty(critic, fake, real, rng, 10.0)
+        assert np.isfinite(gp)  # guarded: ||g||=0 -> (0-1)^2 penalty
+
+        def gp_loss(x):
+            return losses.gradient_penalty(critic, x, real, rng, 10.0)
+
+        assert np.isfinite(jax.grad(gp_loss)(fake)).all()  # guarded bwd
+        monkeypatch.setenv('EDGEGAN_NAN_GUARDS', '0')
+        # reference-exact: sqrt(0) backward is inf -> NaN in the grad
+        assert np.isnan(jax.grad(gp_loss)(fake)).any()
