@@ -43,6 +43,14 @@ def main(argv=None):
                         help='checkpoint whose classifier scores the '
                              'whole sweep (default: the last retained '
                              'step)')
+    parser.add_argument('--exclude_extractor_point', type=lambda s:
+                        s.lower() in ('1', 'true', 'yes'), default=True,
+                        help='drop the extractor checkpoint\'s own step '
+                             'from the curve: scoring a generator with '
+                             'an extractor from the SAME step deflates '
+                             'that one point (generator/extractor '
+                             'co-adaptation — the round-3 curve\'s '
+                             'final-point artifact). Default on.')
     args, passthrough = parser.parse_known_args(argv)
 
     # the run directory comes from the passthrough config flags
@@ -60,9 +68,12 @@ def main(argv=None):
         raise SystemExit(f'no checkpoints under {ckpt_dir}')
     extractor_step = (args.extractor_step if args.extractor_step is not None
                       else steps[-1])
+    sweep_steps = [s for s in steps
+                   if not (args.exclude_extractor_point
+                           and s == extractor_step)]
     splits = args.splits.split(',')
     rows = []
-    for step in steps:
+    for step in sweep_steps:
         row = {'step': step}
         for split in splits:
             buf = io.StringIO()
@@ -81,6 +92,7 @@ def main(argv=None):
     os.makedirs(args.outdir, exist_ok=True)
     summary = {'checkpoint_dir': ckpt_dir, 'n_checkpoints': len(steps),
                'extractor_step': extractor_step,
+               'extractor_point_excluded': args.exclude_extractor_point,
                'limit': args.limit, 'curve': rows}
     with open(os.path.join(args.outdir, 'fidcurve.json'), 'w') as f:
         json.dump(summary, f, indent=2)

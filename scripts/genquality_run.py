@@ -64,6 +64,61 @@ def _smooth_field(rng, cells=5, lo=0.0, hi=1.0):
     return np.stack(chans, axis=2)
 
 
+def _draw_shape(draw, class_id, cx, cy, r, fg, rng):
+    """Draw class `class_id`'s filled shape. 14 distinct geometries so
+    the same generator can stage a SketchyCOCO-scale 14-class dataset
+    (reference train.py:29 num_classes default; scripts/refscale_run.py)."""
+    import math
+    t = max(3, r // 2)
+    if class_id == 0:    # circle
+        draw.ellipse([cx - r, cy - r, cx + r, cy + r], fill=fg)
+    elif class_id == 1:  # square
+        draw.rectangle([cx - r, cy - r, cx + r, cy + r], fill=fg)
+    elif class_id == 2:  # triangle
+        draw.polygon([(cx, cy - r), (cx - r, cy + r), (cx + r, cy + r)],
+                     fill=fg)
+    elif class_id == 3:  # cross
+        draw.rectangle([cx - r, cy - t, cx + r, cy + t], fill=fg)
+        draw.rectangle([cx - t, cy - r, cx + t, cy + r], fill=fg)
+    elif class_id == 4:  # diamond
+        draw.polygon([(cx, cy - r), (cx + r, cy), (cx, cy + r),
+                      (cx - r, cy)], fill=fg)
+    elif class_id == 5:  # wide ellipse
+        draw.ellipse([cx - r, cy - t, cx + r, cy + t], fill=fg)
+    elif class_id == 6:  # 5-point star
+        pts = []
+        for i in range(10):
+            rad = r if i % 2 == 0 else max(2, int(r * 0.45))
+            a = math.pi * i / 5 - math.pi / 2
+            pts.append((cx + rad * math.cos(a), cy + rad * math.sin(a)))
+        draw.polygon(pts, fill=fg)
+    elif class_id == 7:  # pentagon
+        pts = [(cx + r * math.cos(2 * math.pi * i / 5 - math.pi / 2),
+                cy + r * math.sin(2 * math.pi * i / 5 - math.pi / 2))
+               for i in range(5)]
+        draw.polygon(pts, fill=fg)
+    elif class_id == 8:  # hexagon
+        pts = [(cx + r * math.cos(math.pi * i / 3),
+                cy + r * math.sin(math.pi * i / 3)) for i in range(6)]
+        draw.polygon(pts, fill=fg)
+    elif class_id == 9:  # ring (annulus)
+        draw.ellipse([cx - r, cy - r, cx + r, cy + r], fill=fg)
+        hole = max(2, r - t)
+        draw.ellipse([cx - hole, cy - hole, cx + hole, cy + hole],
+                     fill=tuple(int(c) for c in rng.randint(0, 255, 3)))
+    elif class_id == 10:  # semicircle
+        draw.pieslice([cx - r, cy - r, cx + r, cy + r], 180, 360, fill=fg)
+    elif class_id == 11:  # L-shape
+        draw.rectangle([cx - r, cy - r, cx - r + 2 * t, cy + r], fill=fg)
+        draw.rectangle([cx - r, cy + r - 2 * t, cx + r, cy + r], fill=fg)
+    elif class_id == 12:  # T-shape
+        draw.rectangle([cx - r, cy - r, cx + r, cy - r + 2 * t], fill=fg)
+        draw.rectangle([cx - t, cy - r, cx + t, cy + r], fill=fg)
+    else:                 # right triangle
+        draw.polygon([(cx - r, cy - r), (cx - r, cy + r),
+                      (cx + r, cy + r)], fill=fg)
+
+
 def _draw_photo(rng, class_id):
     """One randomized 64x64 'photo' (uint8) for the class's shape.
 
@@ -101,17 +156,7 @@ def _draw_photo(rng, class_id):
     r = rng.randint(12, 22)                       # shape radius
     cx = rng.randint(r + 4, W - r - 4)
     cy = rng.randint(r + 4, H - r - 4)
-    if class_id == 0:    # circle
-        draw.ellipse([cx - r, cy - r, cx + r, cy + r], fill=fg)
-    elif class_id == 1:  # square
-        draw.rectangle([cx - r, cy - r, cx + r, cy + r], fill=fg)
-    elif class_id == 2:  # triangle
-        draw.polygon([(cx, cy - r), (cx - r, cy + r), (cx + r, cy + r)],
-                     fill=fg)
-    else:                # cross
-        t = max(3, r // 2)
-        draw.rectangle([cx - r, cy - t, cx + r, cy + t], fill=fg)
-        draw.rectangle([cx - t, cy - r, cx + t, cy + r], fill=fg)
+    _draw_shape(draw, class_id, cx, cy, r, fg, rng)
     arr = np.asarray(img, np.float32)
     # shade the shape with a soft luminance field so it isn't flat either
     shade = (_smooth_field(rng, cells=4, lo=-0.25, hi=0.25).mean(axis=2,
@@ -140,20 +185,21 @@ def _edge_map(photo):
 
 
 def stage(dataroot, seed=7, train_per_class=TRAIN_PER_CLASS,
-          test_per_class=TEST_PER_CLASS):
+          test_per_class=TEST_PER_CLASS, num_classes=NUM_CLASSES,
+          dataset='genshapes'):
     from PIL import Image
     rng = np.random.RandomState(seed)
     counts = {'train': train_per_class, 'test': test_per_class}
     for split, per_class in counts.items():
-        for cls in range(NUM_CLASSES):
-            d = os.path.join(dataroot, 'genshapes', split, str(cls))
+        for cls in range(num_classes):
+            d = os.path.join(dataroot, dataset, split, str(cls))
             os.makedirs(d, exist_ok=True)
             for i in range(per_class):
                 photo = _draw_photo(rng, cls)
                 pair = np.concatenate([_edge_map(photo), photo], axis=1)
                 Image.fromarray(pair).save(
                     os.path.join(d, f'{i:04d}.png'))
-    return counts['train'] * NUM_CLASSES, counts['test'] * NUM_CLASSES
+    return counts['train'] * num_classes, counts['test'] * num_classes
 
 
 def main():
@@ -240,7 +286,8 @@ def main():
 
     metrics_path = os.path.join(outputs, 'gqrun', 'logs', 'metrics.jsonl')
     shutil.copy(metrics_path, os.path.join(outdir, 'gq_metrics.jsonl'))
-    rows_m = [json.loads(line) for line in open(metrics_path)]
+    from edgegan_tpu.utils import read_metrics
+    rows_m = read_metrics(metrics_path)  # dedupes resumed steps
 
     import matplotlib
     matplotlib.use('Agg')
