@@ -24,7 +24,7 @@ executes the full-scale equivalent on the TPU:
 
 Usage:
   python scripts/refscale_run.py [lr] [outdir] [train_per_class]
-                                 [epochs] [kill_frac]
+                                 [epochs] [kill_frac] [save_freq]
 Writes: <outdir>/refscale_{metrics.jsonl,curves.png,eval.json,
         samples.png,fidcurve.json,fidcurve.png}
 """
@@ -49,12 +49,12 @@ OUTPUTS = '/tmp/edgegan_refscale_run'
 NAME = 'refscale'
 
 
-def _launch(common, epochs, lr):
+def _launch(common, epochs, lr, save_freq=1000):
     cmd = [sys.executable, '-m', 'edgegan_tpu.cli.train'] + common + [
         '--learning_rate', str(lr),
         '--dtype', 'bfloat16',
         '--epoch', str(epochs),
-        '--save_checkpoint_frequency', '1000',
+        '--save_checkpoint_frequency', str(save_freq),
         '--keep_checkpoint_max', '25',
         '--summary_frequency', '2000',
         '--nan_policy', 'halt',
@@ -82,6 +82,13 @@ def main():
     train_per_class = int(sys.argv[3]) if len(sys.argv) > 3 else 1006
     epochs = int(sys.argv[4]) if len(sys.argv) > 4 else 100
     kill_frac = float(sys.argv[5]) if len(sys.argv) > 5 else 0.45
+    save_freq = int(sys.argv[6]) if len(sys.argv) > 6 else 1000
+
+    # Scale-specific staging/output roots so a tiny smoke run can't be
+    # mistaken for (or clobber) the full-scale dataset.
+    global DATAROOT, OUTPUTS
+    DATAROOT = f'{DATAROOT}_{train_per_class}'
+    OUTPUTS = f'{OUTPUTS}_{train_per_class}'
 
     from genquality_run import stage
     if not os.path.exists(os.path.join(DATAROOT, 'genshapes')):
@@ -110,7 +117,7 @@ def main():
     print(f'target {total_steps} steps ({epochs} epochs x '
           f'{steps_per_epoch}); SIGTERM at ~step {kill_at}', flush=True)
     t_train0 = time.time()
-    proc = _launch(common, epochs, lr)
+    proc = _launch(common, epochs, lr, save_freq)
     killed_at = None
     while proc.poll() is None:
         time.sleep(5)
@@ -134,7 +141,7 @@ def main():
     # so the relaunch gets only the REMAINING epochs.
     remaining_epochs = max(1, -(-(total_steps - last1) // steps_per_epoch))
     t_seg2 = time.time()
-    proc = _launch(common, remaining_epochs, lr)
+    proc = _launch(common, remaining_epochs, lr, save_freq)
     out2 = proc.communicate()[0]
     seg2_wall = time.time() - t_seg2
     if proc.returncode != 0:
