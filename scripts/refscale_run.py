@@ -49,7 +49,7 @@ OUTPUTS = '/tmp/edgegan_refscale_run'
 NAME = 'refscale'
 
 
-def _launch(common, epochs, lr, save_freq=1000):
+def _launch(common, epochs, lr, save_freq, log_path):
     cmd = [sys.executable, '-m', 'edgegan_tpu.cli.train'] + common + [
         '--learning_rate', str(lr),
         '--dtype', 'bfloat16',
@@ -59,8 +59,12 @@ def _launch(common, epochs, lr, save_freq=1000):
         '--summary_frequency', '2000',
         '--nan_policy', 'halt',
     ]
-    return subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True)
+    # stdout goes to a FILE, not a pipe: at 22k steps the trainer's
+    # progress lines overflow a 64KB pipe buffer long before the
+    # monitor loop would read it, deadlocking the run mid-training.
+    log = open(log_path, 'w')
+    return subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT,
+                            text=True)
 
 
 def _count_steps(metrics_path):
@@ -117,7 +121,9 @@ def main():
     print(f'target {total_steps} steps ({epochs} epochs x '
           f'{steps_per_epoch}); SIGTERM at ~step {kill_at}', flush=True)
     t_train0 = time.time()
-    proc = _launch(common, epochs, lr, save_freq)
+    seg1_log = os.path.join(os.path.dirname(OUTPUTS) or '/tmp',
+                            f'{NAME}_seg1.log')
+    proc = _launch(common, epochs, lr, save_freq, seg1_log)
     killed_at = None
     while proc.poll() is None:
         time.sleep(5)
@@ -126,7 +132,8 @@ def main():
             print(f' [kill] SIGTERM at step {last}', flush=True)
             proc.send_signal(signal.SIGTERM)
             killed_at = last
-    out1 = proc.communicate()[0]
+    proc.wait()
+    out1 = open(seg1_log).read()
     seg1_wall = time.time() - t_train0
     if proc.returncode != 0:
         print(out1[-4000:])
@@ -141,8 +148,11 @@ def main():
     # so the relaunch gets only the REMAINING epochs.
     remaining_epochs = max(1, -(-(total_steps - last1) // steps_per_epoch))
     t_seg2 = time.time()
-    proc = _launch(common, remaining_epochs, lr, save_freq)
-    out2 = proc.communicate()[0]
+    seg2_log = os.path.join(os.path.dirname(OUTPUTS) or '/tmp',
+                            f'{NAME}_seg2.log')
+    proc = _launch(common, remaining_epochs, lr, save_freq, seg2_log)
+    proc.wait()
+    out2 = open(seg2_log).read()
     seg2_wall = time.time() - t_seg2
     if proc.returncode != 0:
         print(out2[-4000:])
