@@ -23,12 +23,16 @@ def _ckpt_path(checkpoint_dir: str, step: int) -> str:
 
 
 def save(checkpoint_dir: str, step: int, state: Any, keep: int = 5):
-    """Save the full train state at `step`.
+    """Save the full train state at `step`, blocking until durable.
 
     Retains the newest `keep` checkpoints (tf.train.Saver's
     max_to_keep=5 default, reference models/edgegan.py:421); keep<=0
     disables the GC.
     """
+    # serialize behind any in-flight async save of the same run: two
+    # concurrent writers against the same directory tree would race the
+    # retention GC and Orbax's atomic-rename commit
+    wait_for_async()
     path = _ckpt_path(checkpoint_dir, step)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
@@ -36,6 +40,50 @@ def save(checkpoint_dir: str, step: int, state: Any, keep: int = 5):
     # retention GC is a host-side delete: one process only
     if keep > 0 and jax.process_index() == 0:
         _gc(checkpoint_dir, keep)
+
+
+# One AsyncCheckpointer per process: Orbax forbids overlapping saves on
+# one instance, and `save_async` waits for the previous save before
+# dispatching the next, so cadence saves form an ordered pipeline.
+_async_ckptr = None
+_async_pending = None  # (checkpoint_dir, keep) of the in-flight save
+
+
+def save_async(checkpoint_dir: str, step: int, state: Any, keep: int = 5):
+    """Kick off a checkpoint save and return without waiting for the
+    file writes.
+
+    The device->host copy happens before this returns (Orbax copies,
+    then writes in a background thread), so the train loop only pays
+    the transfer — on the remote-TPU tunnel the synchronous version
+    cost 15-80 s per save (BASELINE.md reference-scale run), almost all
+    of it serialization + fsync the device does not need to wait for.
+    Callers MUST call `wait_for_async()` (or a blocking `save`) before
+    process exit or restore. Multi-process: AsyncCheckpointer
+    coordinates its commit barrier through the jax.distributed
+    coordination service, so this stays collective like `save`.
+    """
+    global _async_ckptr, _async_pending
+    wait_for_async()
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    _async_ckptr.save(_ckpt_path(checkpoint_dir, step),
+                      args=ocp.args.StandardSave(state), force=True)
+    _async_pending = (checkpoint_dir, keep)
+
+
+def wait_for_async():
+    """Block until the in-flight `save_async` (if any) is durable, then
+    run its retention GC (deferred so the GC can never delete an entry
+    while its own save is mid-commit)."""
+    global _async_pending
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+    if _async_pending is not None:
+        checkpoint_dir, keep = _async_pending
+        _async_pending = None
+        if keep > 0 and jax.process_index() == 0:
+            _gc(checkpoint_dir, keep)
 
 
 def _gc(checkpoint_dir: str, keep: int):

@@ -157,7 +157,62 @@ def main(argv=None):
 
     profiling = False
     nan_streak = False
+    halted = []
     start_time = time.time()
+
+    def process_metrics(step_counter, epoch, idx, device_metrics):
+        """Pull one step's metrics to the host and run the logging /
+        NaN-policy protocol on them.
+
+        Called one step BEHIND the dispatch (the loop dispatches step
+        N+1 before pulling step N): by the time the transfer starts the
+        step has long finished on-device, and the pull overlaps step
+        N+1's execution instead of serializing with it. On the remote
+        TPU tunnel the synchronous version cost the reference-scale run
+        ~0.14 s/step of the 0.20 s/step total (BASELINE.md round 4).
+        """
+        nonlocal nan_streak
+        # One bulk device->host transfer (8 separate float() pulls would
+        # cost 8 round trips through the TPU tunnel). Metrics are
+        # replicated, so EVERY process pulls its local copy: the
+        # NaN-halt decision below is taken identically on all
+        # processes, making the Orbax save collective.
+        if nproc > 1:
+            metrics = {k: float(np.asarray(v.addressable_data(0)))
+                       for k, v in device_metrics.items()}
+        else:
+            metrics = {k: float(v) for k, v in
+                       jax.device_get(device_metrics).items()}
+        if p0:
+            d_err = (metrics.get('joint_dis_dloss', 0.0)
+                     + metrics.get('image_dis_dloss', 0.0)
+                     + metrics.get('edge_dis_dloss', 0.0))
+            g_err = (metrics.get('edge_gloss', 0.0)
+                     + metrics.get('image_gloss', 0.0))
+            # reference stdout format incl. the 2x d-loss quirk Q11
+            # (models/edgegan.py:484-486)
+            print('Epoch: [%2d/%2d] [%4d/%4d] time: %4.4f, '
+                  'joint_dis_dloss: %.8f, joint_dis_gloss: %.8f'
+                  % (epoch, config.epoch, idx, len(dataset),
+                     time.time() - start_time, 2 * d_err, g_err))
+            metrics_log.write(json.dumps(
+                {'step': step_counter, 'epoch': epoch, **metrics}) + '\n')
+            metrics_log.flush()
+            tb.scalars(step_counter, metrics)
+        # NaN detection (the reference trains on silently; WGAN
+        # critics can diverge on degenerate data — BASELINE.md).
+        # Runs on all processes over the replicated metrics, so
+        # halt's checkpoint-save is a proper collective.
+        bad = [k for k, v in metrics.items() if not np.isfinite(v)]
+        if bad and config.nan_policy != 'ignore':
+            if not nan_streak and p0:
+                print(f' [!] non-finite losses at step {step_counter}: '
+                      f'{",".join(sorted(bad))}')
+            nan_streak = True
+            if config.nan_policy == 'halt':
+                halted.append(step_counter)
+        else:
+            nan_streak = False
     # One loader (and thread pool) for the whole run; each epoch's
     # iteration submits fresh decode futures against the reshuffled
     # dataset. (A per-epoch pool with shutdown(wait=False) leaks worker
@@ -169,8 +224,12 @@ def main(argv=None):
         dataset, prefetch=config.prefetch, sharding=data_sharding,
         image_dtype=(jax.numpy.bfloat16
                      if config.dtype == 'bfloat16' else None))
+    # metrics of the step dispatched last loop iteration, pulled AFTER
+    # this iteration's dispatch so the transfer overlaps execution:
+    # (counter, epoch, idx, device_metrics)
+    pending = None
     for epoch in range(config.epoch):
-        if stop_requested:
+        if stop_requested or halted:
             break
         dataset.shuffle()
         for idx, (batch_images, batch_z, _files) in enumerate(loader):
@@ -186,54 +245,11 @@ def main(argv=None):
             state, device_metrics = train_step(state, batch_images,
                                                batch_z, step_rng)
             counter += 1
-            # One bulk device->host transfer, AFTER the next dispatch is
-            # already enqueued by jax's async dispatch — the transfer
-            # latency hides behind device execution. (8 separate float()
-            # pulls would cost 8 round trips through the TPU tunnel.)
-            # Metrics are replicated, so EVERY process pulls its local
-            # copy: the NaN-halt decision below is taken identically on
-            # all processes, making the Orbax save collective.
-            if nproc > 1:
-                metrics = {k: float(np.asarray(v.addressable_data(0)))
-                           for k, v in device_metrics.items()}
-            else:
-                metrics = {k: float(v) for k, v in
-                           jax.device_get(device_metrics).items()}
-            if p0:
-                d_err = (metrics.get('joint_dis_dloss', 0.0)
-                         + metrics.get('image_dis_dloss', 0.0)
-                         + metrics.get('edge_dis_dloss', 0.0))
-                g_err = (metrics.get('edge_gloss', 0.0)
-                         + metrics.get('image_gloss', 0.0))
-                # reference stdout format incl. the 2x d-loss quirk Q11
-                # (models/edgegan.py:484-486)
-                print('Epoch: [%2d/%2d] [%4d/%4d] time: %4.4f, '
-                      'joint_dis_dloss: %.8f, joint_dis_gloss: %.8f'
-                      % (epoch, config.epoch, idx, len(dataset),
-                         time.time() - start_time, 2 * d_err, g_err))
-                metrics_log.write(json.dumps(
-                    {'step': counter, 'epoch': epoch, **metrics}) + '\n')
-                metrics_log.flush()
-                tb.scalars(counter, metrics)
-            # NaN detection (the reference trains on silently; WGAN
-            # critics can diverge on degenerate data — BASELINE.md).
-            # Runs on all processes over the replicated metrics, so
-            # halt's checkpoint-save is a proper collective.
-            bad = [k for k, v in metrics.items() if not np.isfinite(v)]
-            if bad and config.nan_policy != 'ignore':
-                if not nan_streak and p0:
-                    print(f' [!] non-finite losses at step {counter}: '
-                          f'{",".join(sorted(bad))}')
-                nan_streak = True
-                if config.nan_policy == 'halt':
-                    if p0:
-                        print(' [!] nan_policy=halt: saving checkpoint '
-                              'and exiting')
-                    ckpt.save(config.checkpoint_dir, counter, state,
-                              keep=config.keep_checkpoint_max)
-                    raise SystemExit(1)
-            else:
-                nan_streak = False
+            if pending is not None:
+                process_metrics(*pending)
+            pending = (counter, epoch, idx, device_metrics)
+            if halted:
+                break
             if p0 and counter % config.summary_frequency == 0:
                 tb.extras(counter, state, batch_images, batch_z)
             # Multi-process preemption: all processes agree on the same
@@ -246,20 +262,35 @@ def main(argv=None):
                 profiling = False
                 print(f' [*] Profile written to {config.logdir}/profile')
             # save cadence quirk Q9 (models/edgegan.py:487-489);
-            # collective — every process participates in the Orbax save
+            # collective — every process enters the Orbax save. Async:
+            # the loop only pays the device->host copy; serialization
+            # and fsync happen on a background thread (the synchronous
+            # version cost the reference-scale run 15-80 s per save).
             if counter % config.save_checkpoint_frequency == 2:
                 if p0:
                     print(' [*] Saving checkpoints...')
-                ckpt.save(config.checkpoint_dir, counter, state,
-                          keep=config.keep_checkpoint_max)
+                ckpt.save_async(config.checkpoint_dir, counter, state,
+                                keep=config.keep_checkpoint_max)
             if stop_requested:
                 break
+    if pending is not None and not halted:
+        process_metrics(*pending)  # the final step's metrics
+    if halted:
+        if p0:
+            print(' [!] nan_policy=halt: saving checkpoint and exiting')
+        ckpt.save(config.checkpoint_dir, counter, state,
+                  keep=config.keep_checkpoint_max)
+        loader.close()
+        raise SystemExit(1)
     if stop_requested:
         if p0:
             print(f' [*] Caught signal {stop_requested[0]}: saving '
                   f'checkpoint at counter {counter} and exiting')
         ckpt.save(config.checkpoint_dir, counter, state,
                   keep=config.keep_checkpoint_max)
+    # a cadence save_async may still be writing: make it durable before
+    # the process exits (save() above already waits when it ran)
+    ckpt.wait_for_async()
     loader.close()
     if profiling:
         jax.profiler.stop_trace()

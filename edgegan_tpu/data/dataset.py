@@ -59,13 +59,24 @@ class Dataset:
         self.process_index, self.process_count = shard
         assert batchsize % self.process_count == 0, (batchsize, shard)
         self.local_batchsize = batchsize // self.process_count
-        # Multi-process z streams must differ per process AND respect the
-        # run seed (a fixed 977+index stream would make every multi-host
-        # run draw identical latents regardless of --seed).
-        self._z_rng = (self.rng if self.process_count == 1 else
-                       np.random.RandomState(
-                           ((seed or 0) * 1000 + 977 + self.process_index)
-                           % (2 ** 32)))
+        # z latents are derived per (seed, process, shuffle-generation,
+        # batch-index) in __getitem__, NOT drawn from a shared
+        # sequential stream: __getitem__ runs concurrently on the
+        # PrefetchLoader's thread pool, where a shared RandomState is
+        # both thread-unsafe and order-dependent (the round-4 stability
+        # ablation traced its run-to-run nondeterminism floor to exactly
+        # this). Counter-derived streams make a --seed run bit-
+        # reproducible while keeping shards' latents independent.
+        self._z_base = (seed if seed is not None
+                        else int(np.random.randint(2 ** 31)))
+        self._shuffle_gen = 0
+        # single-process runs get a seeded shuffle stream too (the
+        # reference shuffles via the unseeded numpy global,
+        # reference train.py/dataset.py; reproducibility under --seed
+        # wins over that quirk — multi-process callers already pass a
+        # shared-seeded rng)
+        if rng is None and seed is not None:
+            self.rng = np.random.RandomState(seed)
         # `subdir` decouples the on-disk split directory from the phase
         # semantics, so train-style listing (class dirs, z latents) can
         # be pointed at any directory of paired images — e.g. a held-out
@@ -106,6 +117,7 @@ class Dataset:
 
     def shuffle(self):
         self.rng.shuffle(self.data)
+        self._shuffle_gen += 1  # advances the per-epoch z streams
 
     def __len__(self):
         if self.pad_tail:  # ceil: tail batch padded, not dropped
@@ -166,7 +178,12 @@ class Dataset:
             batch_images = self._load_batch(filenames)
 
         if self.phase == 'train':
-            batch_z = self._z_rng.normal(
+            # counter-derived stream: thread-safe under the concurrent
+            # prefetch pool and reproducible under --seed (see __init__)
+            zrng = np.random.default_rng(np.random.SeedSequence(
+                [self._z_base, self.process_index, self._shuffle_gen,
+                 idx]))
+            batch_z = zrng.normal(
                 size=(self.local_batchsize, self.config['z_dim'])).astype(
                     np.float32)
             if self.num_classes is not None:

@@ -54,18 +54,28 @@ class PrefetchLoader:
     def __len__(self):
         return len(self.dataset)
 
+    def _fetch_put(self, idx):
+        # decode AND device-transfer in the worker: on the remote-TPU
+        # tunnel the host->device copy of a batch is tens of ms; doing
+        # it here overlaps it with the previous step's execution instead
+        # of serializing it into the train loop (BASELINE.md round 4:
+        # the reference-scale run spent ~0.14 s/step on main-thread
+        # transfer + sync). jax.device_put is thread-safe; batches are
+        # independent arrays so arrival order doesn't matter.
+        return self._put(self._fetch(idx))
+
     def __iter__(self) -> Iterator:
         n = len(self.dataset)
         futures = {}
         depth = min(self.prefetch, n)
         for i in range(depth):
-            futures[i] = self.pool.submit(self._fetch, i)
+            futures[i] = self.pool.submit(self._fetch_put, i)
         for i in range(n):
             item = futures.pop(i).result()
             nxt = i + depth
             if nxt < n:
-                futures[nxt] = self.pool.submit(self._fetch, nxt)
-            yield self._put(item)
+                futures[nxt] = self.pool.submit(self._fetch_put, nxt)
+            yield item
 
     def close(self):
         self.pool.shutdown(wait=False)

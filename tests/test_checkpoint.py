@@ -132,3 +132,31 @@ def test_load_all_corrupt_returns_false(tmp_path):
     _corrupt(d, 2)
     loaded, counter, restored = ckpt.load(d, state)
     assert not loaded and counter == 0 and restored is None
+
+
+def test_async_save_pipeline(tmp_path):
+    """save_async returns before the write is durable; wait_for_async
+    makes it durable and runs the DEFERRED retention GC; a blocking
+    save() serializes behind any in-flight async save (the train loop's
+    cadence saves use this pipeline, cli/train.py)."""
+    import os
+    state = make_state()
+    d = str(tmp_path / 'checkpoints')
+    ckpt.save_async(d, 2, state, keep=2)
+    ckpt.save_async(d, 502, state, keep=2)   # waits for step-2 first
+    ckpt.save_async(d, 1002, state, keep=2)  # step-2's GC deferred here
+    ckpt.wait_for_async()
+    names = sorted(n for n in os.listdir(d)
+                   if n.startswith(ckpt.MODEL_NAME))
+    assert names == ['EdgeGAN-Model-1002', 'EdgeGAN-Model-502']
+    loaded, counter, restored = ckpt.load(d, state)
+    assert loaded and counter == 1002
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # blocking save after an async save: must not race the GC
+    ckpt.save_async(d, 1502, state, keep=2)
+    ckpt.save(d, 2002, state, keep=2)
+    names = sorted(n for n in os.listdir(d)
+                   if n.startswith(ckpt.MODEL_NAME))
+    assert names == ['EdgeGAN-Model-1502', 'EdgeGAN-Model-2002']
+    assert ckpt.wait_for_async() is None  # idempotent when idle

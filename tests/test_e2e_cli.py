@@ -146,10 +146,13 @@ def test_nan_policy_halt(tmp_path, monkeypatch):
             '--save_checkpoint_frequency', '1000000',
             '--nan_policy', 'halt'])
     assert exc.value.code == 1
-    # the halt checkpoint landed at the first (NaN) step's counter
+    # the metrics pull runs one step behind the dispatch (pipelined
+    # loop), so the NaN at step 2 is detected after step 3 was already
+    # dispatched; the halt checkpoint is labeled with the counter the
+    # STATE is actually at (3), not the NaN step
     from edgegan_tpu import checkpoint as ckpt_mod
     assert ckpt_mod.latest_step(
-        os.path.join(outputs, 'e2e', 'checkpoints')) == 2
+        os.path.join(outputs, 'e2e', 'checkpoints')) == 3
 
 
 @pytest.mark.slow
@@ -308,7 +311,9 @@ def test_two_process_nan_halt(tmp_path, monkeypatch):
     assert 'nan_policy=halt' not in outs[1]  # p0-only print
     from edgegan_tpu import checkpoint as ckpt_mod
     d = os.path.join(outputs, 'mp', 'checkpoints')
-    assert ckpt_mod.latest_step(d) == 2, os.listdir(d)
+    # one step behind the dispatch: NaN at step 2 halts with the state
+    # (and checkpoint label) at counter 3 — see test_nan_policy_halt
+    assert ckpt_mod.latest_step(d) == 3, os.listdir(d)
 
 
 @pytest.mark.slow
