@@ -135,7 +135,15 @@ def main():
     proc.wait()
     out1 = open(seg1_log).read()
     seg1_wall = time.time() - t_train0
-    if proc.returncode != 0:
+    HALT = 'nan_policy=halt'
+    diverged_at = None
+    if proc.returncode == 1 and HALT in out1:
+        # NaN-halt: salvage the partial run (record onset, evaluate
+        # whatever checkpoints exist) instead of crashing the harness.
+        n1, last1 = _count_steps(metrics_path)
+        diverged_at = last1
+        print(f' [!] segment 1 NaN-halted at step {last1}', flush=True)
+    elif proc.returncode != 0:
         print(out1[-4000:])
         raise SystemExit(f'segment 1 exited {proc.returncode}')
     n1, last1 = _count_steps(metrics_path)
@@ -146,22 +154,52 @@ def main():
     # The epoch loop restarts on resume (reference models/edgegan.py:456
     # restarts epochs from 0 with the counter carried over — same here),
     # so the relaunch gets only the REMAINING epochs.
-    remaining_epochs = max(1, -(-(total_steps - last1) // steps_per_epoch))
-    t_seg2 = time.time()
-    seg2_log = os.path.join(os.path.dirname(OUTPUTS) or '/tmp',
-                            f'{NAME}_seg2.log')
-    proc = _launch(common, remaining_epochs, lr, save_freq, seg2_log)
-    proc.wait()
-    out2 = open(seg2_log).read()
-    seg2_wall = time.time() - t_seg2
-    if proc.returncode != 0:
-        print(out2[-4000:])
-        raise SystemExit(f'segment 2 exited {proc.returncode}')
-    assert ' [*] Load SUCCESS' in out2, 'resume did not restore'
-    n2, last2 = _count_steps(metrics_path)
-    train_wall = seg1_wall + seg2_wall
-    print(f'segment 2 (resumed): through step {last2} in {seg2_wall:.0f}s;'
-          f' total train wall {train_wall / 60:.1f} min', flush=True)
+    if diverged_at is not None:
+        last2, seg2_wall = last1, 0.0
+        train_wall = seg1_wall
+    else:
+        remaining_epochs = max(1, -(-(total_steps - last1)
+                                    // steps_per_epoch))
+        t_seg2 = time.time()
+        seg2_log = os.path.join(os.path.dirname(OUTPUTS) or '/tmp',
+                                f'{NAME}_seg2.log')
+        proc = _launch(common, remaining_epochs, lr, save_freq, seg2_log)
+        proc.wait()
+        out2 = open(seg2_log).read()
+        seg2_wall = time.time() - t_seg2
+        if proc.returncode == 1 and HALT in out2:
+            _, last2 = _count_steps(metrics_path)
+            diverged_at = last2
+            print(f' [!] segment 2 NaN-halted at step {last2}',
+                  flush=True)
+        elif proc.returncode != 0:
+            print(out2[-4000:])
+            raise SystemExit(f'segment 2 exited {proc.returncode}')
+        else:
+            _, last2 = _count_steps(metrics_path)
+        assert ' [*] Load SUCCESS' in out2, 'resume did not restore'
+        train_wall = seg1_wall + seg2_wall
+        print(f'segment 2 (resumed): through step {last2} in '
+              f'{seg2_wall:.0f}s; total train wall '
+              f'{train_wall / 60:.1f} min', flush=True)
+
+    if diverged_at is not None:
+        # NaN params make eval/FID/samples meaningless: keep the loss
+        # curves + metrics + a summary recording the onset, and stop.
+        os.makedirs(outdir, exist_ok=True)
+        shutil.copy(metrics_path,
+                    os.path.join(outdir, 'refscale_metrics.jsonl'))
+        summary = {
+            'diverged_at_step': diverged_at,
+            'target_steps': total_steps,
+            'lr': lr,
+            'train_wall_s': round(train_wall, 1),
+            'mid_run_kill_at_step': killed_at,
+        }
+        with open(os.path.join(outdir, 'refscale_eval.json'), 'w') as f:
+            json.dump(summary, f, indent=2)
+        print(json.dumps(summary), flush=True)
+        return
 
     # ---- evaluation: held-out + train split at the final checkpoint ----
     import contextlib

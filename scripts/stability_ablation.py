@@ -38,7 +38,10 @@ time). Onset = first step whose metrics contain a non-finite value
 (from metrics.jsonl); runs that stay finite to the cap record onset
 None.
 
-Usage: python scripts/stability_ablation.py [steps] [outdir] [lr]
+Usage: python scripts/stability_ablation.py [steps] [outdir] [lr] [arms]
+  arms — optional comma-separated subset of variant tags to (re)run;
+  results merge into an existing <outdir>/stability_ablation.json so an
+  interrupted sweep resumes without repeating finished arms.
 Writes: <outdir>/stability_ablation.json (+ a printed markdown table)
 """
 import json
@@ -108,6 +111,7 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2500
     outdir = sys.argv[2] if len(sys.argv) > 2 else 'docs'
     lr = float(sys.argv[3]) if len(sys.argv) > 3 else 2e-4
+    only = set(sys.argv[4].split(',')) if len(sys.argv) > 4 else None
     stage_data()
 
     runs = [
@@ -121,21 +125,30 @@ def main():
         ('nopallas', (), {'EDGEGAN_PALLAS': '0'}, 0),
         ('update_sn', ('--update_sn', 'true'), None, 0),
     ]
+    out_path = os.path.join(outdir, 'stability_ablation.json')
     results = {}
+    if only is not None and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        if prior.get('lr') == lr and prior.get('step_cap') == steps:
+            results = prior.get('results', {})
+
+    os.makedirs(outdir, exist_ok=True)
     for tag, flags, env_extra, seed in runs:
+        if only is not None and tag not in only:
+            continue
         onset, steps_run, wall = run_one(tag, steps, lr, flags,
                                          env_extra, seed)
         results[tag] = {'onset': onset, 'steps_run': steps_run,
                         'wall_s': round(wall, 1)}
         print(f'{tag:12s} onset={onset} steps_run={steps_run} '
               f'wall={wall:.0f}s', flush=True)
-
-    os.makedirs(outdir, exist_ok=True)
-    payload = {'lr': lr, 'step_cap': steps, 'dataset':
-               'procedural 4-class soft-edge (1920 pairs, seed 7)',
-               'results': results}
-    with open(os.path.join(outdir, 'stability_ablation.json'), 'w') as f:
-        json.dump(payload, f, indent=2)
+        # persist incrementally: an interrupted sweep keeps finished arms
+        payload = {'lr': lr, 'step_cap': steps, 'dataset':
+                   'procedural 4-class soft-edge (1920 pairs, seed 7)',
+                   'results': results}
+        with open(out_path, 'w') as f:
+            json.dump(payload, f, indent=2)
 
     print('\n| variant | divergence onset (step) |')
     print('|---|---|')
