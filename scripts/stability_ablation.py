@@ -124,6 +124,13 @@ def main():
         ('noguards', (), {'EDGEGAN_NAN_GUARDS': '0'}, 0),
         ('nopallas', (), {'EDGEGAN_PALLAS': '0'}, 0),
         ('update_sn', ('--update_sn', 'true'), None, 0),
+        # seed-crossed XLA-path arms: noguards/nopallas both diverged at
+        # the SAME step (guards never fire pre-divergence, so those two
+        # trajectories are identical) — these distinguish "the plain-XLA
+        # instance-norm path is systematically less stable" from "onset
+        # is chaotic and the seed-0 XLA trajectory was unlucky".
+        ('nopallas_seed1', (), {'EDGEGAN_PALLAS': '0'}, 1),
+        ('nopallas_seed2', (), {'EDGEGAN_PALLAS': '0'}, 2),
     ]
     out_path = os.path.join(outdir, 'stability_ablation.json')
     results = {}
