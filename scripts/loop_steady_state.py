@@ -32,7 +32,8 @@ def main():
         raise SystemExit(f'{dataroot}/genshapes not staged — run '
                          'scripts/refscale_run.py (or genquality_run.stage) '
                          'first')
-    n_train = len(os.listdir(os.path.join(dataroot, 'genshapes', 'train')))
+    train_dir = os.path.join(dataroot, 'genshapes', 'train')
+    n_train = sum(len(files) for _, _, files in os.walk(train_dir))
     steps_per_epoch = n_train // 64
     epochs = (steps + steps_per_epoch - 1) // steps_per_epoch
     out = tempfile.mkdtemp(prefix='edgegan_loopss_')
