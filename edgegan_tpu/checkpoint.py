@@ -65,10 +65,21 @@ def save_async(checkpoint_dir: str, step: int, state: Any, keep: int = 5):
     """
     global _async_ckptr, _async_pending
     wait_for_async()
+    # Pull the state to host HERE with jax.device_get — the device->host
+    # path validated on the remote-TPU 'axon' backend (metrics pull,
+    # test CLI, convert.py) — instead of letting AsyncCheckpointer's
+    # serialization machinery issue the transfers: its
+    # replica_slices.transfer_arrays_to_host stalls indefinitely on
+    # this backend (main thread parked in arr._value, zero tunnel
+    # traffic; observed on the round-4 reference-scale run's first
+    # cadence save). Handing Orbax host numpy arrays makes its internal
+    # transfer a no-op and keeps the async benefit (serialization +
+    # fsync on the background thread).
+    host_state = jax.device_get(state)
     if _async_ckptr is None:
         _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
     _async_ckptr.save(_ckpt_path(checkpoint_dir, step),
-                      args=ocp.args.StandardSave(state), force=True)
+                      args=ocp.args.StandardSave(host_state), force=True)
     _async_pending = (checkpoint_dir, keep)
 
 

@@ -26,6 +26,14 @@ from ..utils import makedirs, show_all_variables
 
 
 def main(argv=None):
+    # Live-debug hook: `kill -USR1 <pid>` dumps every thread's Python
+    # stack to stderr without disturbing the run — the only way to see
+    # where a long-running trainer is blocked on this image (no
+    # gdb/py-spy; device calls over the remote-TPU tunnel can stall).
+    import faulthandler
+    import signal as _signal
+    if hasattr(_signal, 'SIGUSR1'):
+        faulthandler.register(_signal.SIGUSR1, all_threads=True)
     parser = argparse.ArgumentParser('edgegan_tpu.train')
     add_config_args(parser, 'train')
     args = parser.parse_args(argv)
