@@ -131,7 +131,9 @@ def main(dtype: str = 'float32', update_mode: str = 'faithful',
     images = jnp.asarray(np.random.RandomState(0).randn(
         b, config.output_height, config.output_width, 3
     ).astype(np.float32).clip(-1, 1))
-    z = np.random.RandomState(1).randn(b, config.z_dim + 1).astype(
+    # z feed follows Config.host_z (default False: latents drawn inside
+    # the step from the step rng; the feed is the class column only)
+    z = np.random.RandomState(1).randn(b, config.z_feed_width()).astype(
         np.float32)
     z[:, -1] = np.random.RandomState(2).randint(0, config.num_classes, b)
     z = jnp.asarray(z)
@@ -202,7 +204,8 @@ def main_realdata(dtype: str = 'bfloat16', n_files: int = 2048):
                        'output_width': config.output_width,
                        'crop': False, 'grayscale': False,
                        'z_dim': config.z_dim},
-                      config.num_classes, 'train', cache=True)
+                      config.num_classes, 'train', cache=True,
+                      host_z=config.host_z)
     import jax.numpy as jnp
     img_dt = jnp.bfloat16 if dtype == 'bfloat16' else None
     rng = jax.random.PRNGKey(3)

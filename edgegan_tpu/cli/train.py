@@ -8,6 +8,7 @@ the 'data' mesh axis; the host loader prefetches asynchronously.
 from __future__ import annotations
 
 import argparse
+import io
 import json
 import os
 import time
@@ -33,7 +34,10 @@ def main(argv=None):
     import faulthandler
     import signal as _signal
     if hasattr(_signal, 'SIGUSR1'):
-        faulthandler.register(_signal.SIGUSR1, all_threads=True)
+        try:
+            faulthandler.register(_signal.SIGUSR1, all_threads=True)
+        except (io.UnsupportedOperation, AttributeError, ValueError):
+            pass  # pytest capsys replaces stderr with a fileno-less object
     parser = argparse.ArgumentParser('edgegan_tpu.train')
     add_config_args(parser, 'train')
     args = parser.parse_args(argv)
@@ -69,7 +73,8 @@ def main(argv=None):
                       rng=(np.random.RandomState(config.seed)
                            if nproc > 1 else None),
                       shard=(jax.process_index(), nproc),
-                      seed=config.seed)
+                      seed=config.seed,
+                      host_z=config.host_z)
 
     mesh = create_mesh() if config.data_parallel else None
     data_sharding = batch_sharding(mesh) if mesh else None
@@ -102,7 +107,7 @@ def main(argv=None):
         # host, cold compile on another) makes the faster process die
         # in its first collective: Gloo/ICI context creation only waits
         # ~30 s for the peer (see parallel.barrier).
-        zdim = config.z_dim + (1 if config.multiclasses else 0)
+        zdim = config.z_feed_width()
         local_b = config.batch_size // nproc
         img_dt = (jax.numpy.bfloat16 if config.dtype == 'bfloat16'
                   else np.float32)
@@ -286,8 +291,11 @@ def main(argv=None):
     if halted:
         if p0:
             print(' [!] nan_policy=halt: saving checkpoint and exiting')
-        ckpt.save(config.checkpoint_dir, counter, state,
-                  keep=config.keep_checkpoint_max)
+        # The state is one step past the NaN (params already non-finite):
+        # save it under the -halt namespace, invisible to resume and to
+        # retention GC, so a bare relaunch restores the last FINITE
+        # cadence checkpoint instead of halting again one step later.
+        ckpt.save_halt(config.checkpoint_dir, counter, state)
         loader.close()
         raise SystemExit(1)
     if stop_requested:

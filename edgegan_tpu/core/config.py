@@ -100,6 +100,16 @@ class Config:
     #                               once per streak), 'halt' (save a
     #                               checkpoint and exit 1), 'ignore'
     #                               (reference behavior: train on).
+    host_z: bool = False          # False (default): z latents are drawn
+    #                               INSIDE the jitted step from the step
+    #                               rng — nothing transferred per step,
+    #                               backend-exact under DP (one global
+    #                               draw, rows sharded with the batch).
+    #                               True: the dataset draws z on the host
+    #                               per batch (the reference's
+    #                               dataset.py:72-73 semantics, kept for
+    #                               the --seed bit-reproducible z-stream
+    #                               contract) and transfers it f32.
 
     def derive(self, phase: str = 'train') -> 'Config':
         """Reference update_flags (train.py:85-98, test.py:85-97)."""
@@ -117,6 +127,16 @@ class Config:
         cfg.logdir = os.path.join(path, 'logs')
         cfg.test_output_dir = os.path.join(path, 'test_output')
         return cfg
+
+    def z_feed_width(self) -> int:
+        """Width of the per-batch z array the train step is fed.
+
+        host_z: the full latent + class-id column (reference placeholder
+        [None, 101], models/edgegan.py:188-197). Device z: only the
+        class-id column crosses the wire (multiclass), or nothing."""
+        if self.host_z:
+            return self.z_dim + (1 if self.multiclasses else 0)
+        return 1 if self.multiclasses else 0
 
     def save(self):
         """Dump flags.json like reference train.py:100-107."""

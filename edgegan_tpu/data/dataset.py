@@ -37,7 +37,8 @@ class Dataset:
                  cache: bool = False, shard=(0, 1),
                  seed: Optional[int] = None,
                  subdir: Optional[str] = None,
-                 pad_tail: bool = False):
+                 pad_tail: bool = False,
+                 host_z: bool = True):
         """`cache=True` keeps every decoded+transformed image in RAM as
         float32 after first touch. The reference re-decodes and resizes
         every PNG on every epoch (dataset.py:58-67); at TPU step times
@@ -70,6 +71,11 @@ class Dataset:
         self._z_base = (seed if seed is not None
                         else int(np.random.randint(2 ** 31)))
         self._shuffle_gen = 0
+        # host_z=False (Config.host_z, round 5): the train step draws z
+        # on device from the step rng; __getitem__ then returns only the
+        # class-id column (multiclass) or an empty array — no per-step
+        # host Gaussian draw or f32 latent transfer.
+        self.host_z = host_z
         # single-process runs get a seeded shuffle stream too (the
         # reference shuffles via the unseeded numpy global,
         # reference train.py/dataset.py; reproducibility under --seed
@@ -178,20 +184,27 @@ class Dataset:
             batch_images = self._load_batch(filenames)
 
         if self.phase == 'train':
-            # counter-derived stream: thread-safe under the concurrent
-            # prefetch pool and reproducible under --seed (see __init__)
-            zrng = np.random.default_rng(np.random.SeedSequence(
-                [self._z_base, self.process_index, self._shuffle_gen,
-                 idx]))
-            batch_z = zrng.normal(
-                size=(self.local_batchsize, self.config['z_dim'])).astype(
-                    np.float32)
+            classes = None
             if self.num_classes is not None:
                 def get_class(path):
                     return int(os.path.basename(os.path.dirname(path)))
                 classes = np.array([get_class(f) for f in filenames],
                                    np.float32).reshape(
                                        self.local_batchsize, 1)
-                batch_z = np.concatenate([batch_z, classes], axis=1)
+            if self.host_z:
+                # counter-derived stream: thread-safe under the
+                # concurrent prefetch pool and reproducible under --seed
+                # (see __init__)
+                zrng = np.random.default_rng(np.random.SeedSequence(
+                    [self._z_base, self.process_index, self._shuffle_gen,
+                     idx]))
+                batch_z = zrng.normal(
+                    size=(self.local_batchsize,
+                          self.config['z_dim'])).astype(np.float32)
+                if classes is not None:
+                    batch_z = np.concatenate([batch_z, classes], axis=1)
+            else:  # device z: only the class column crosses the wire
+                batch_z = (classes if classes is not None else
+                           np.zeros((self.local_batchsize, 0), np.float32))
             return batch_images, batch_z, filenames
         return batch_images, filenames

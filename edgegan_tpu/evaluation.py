@@ -139,6 +139,69 @@ def classifier_extractor(nets, params, aux):
     return extract
 
 
+def pinned_extractor(npz_path: str):
+    """Cross-run pinned classifier-FID extractor (round 5).
+
+    Loads the dedicated classifier trained once by
+    scripts/train_fid_extractor.py (fixed seed/recipe, saved as
+    `<npz_path>` + a `<npz_path>.json` metadata sidecar) and returns an
+    `images -> [n, 768]` feature callable. Every eval scored through
+    this extractor lives in the SAME feature space, so classifier-FID
+    numbers are comparable across runs and rounds — unlike the per-run
+    extractor (each run's own last checkpoint), which is only valid for
+    within-run trajectories.
+    """
+    import json
+    import os
+
+    import jax
+
+    from .core.config import Config
+    from .train import Networks
+
+    with open(npz_path + '.json') as f:
+        meta = json.load(f)
+
+    def nest(flat):
+        out = {}
+        for key, v in flat.items():
+            parts = key.split('/')
+            d = out
+            for p in parts[:-1]:
+                d = d.setdefault(p, {})
+            d[parts[-1]] = (np.asarray(v, np.float32)
+                            if v.dtype == np.float16 else np.asarray(v))
+        return out
+
+    if not os.path.exists(npz_path):
+        raise FileNotFoundError(
+            f'{npz_path} not found — train it once with '
+            'scripts/train_fid_extractor.py')
+    with np.load(npz_path) as z:
+        tree = nest({k: z[k] for k in z.files})
+    cfg = Config(**meta['config']).derive('train')
+    nets = Networks(cfg)
+    native_hw = (cfg.output_height, cfg.output_width // 2)  # photo half
+
+    @jax.jit
+    def features(images):
+        if images.shape[1:3] != native_hw:
+            # e.g. 128x128 halves from the hires config: resize to the
+            # extractor's native input so every run scores in ONE space
+            from .ops.resize import resize
+            images = resize(images, native_hw)
+        _, _, _, feat = nets.classifier.apply(
+            {'params': tree['params'], **tree['aux']}, images,
+            return_features=True)
+        return feat
+
+    def extract(images: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+        return np.asarray(features(jnp.asarray(images, jnp.float32)))
+
+    return extract
+
+
 def reconstruction_metrics(a: np.ndarray, b: np.ndarray) -> dict:
     """L1 / L2 / PSNR between two [-1,1] image batches."""
     a = np.asarray(a, np.float64)

@@ -92,6 +92,16 @@ class SummaryWriter:
             aux = jax.tree.map(local_leaf, aux)
             images = _local_batch(images)
             z = _local_batch(z)
+        z = np.asarray(jax.device_get(z), np.float32)
+        if z.shape[-1] < self.config.z_dim:
+            # device-z mode (Config.host_z=False): the batch carries only
+            # the class column; the step drew its latents on device from
+            # the step rng. Draw an equivalent N(0,1) latent here (step-
+            # seeded, so TB samples are reproducible) for the sample
+            # forward and the z histogram.
+            noise = np.random.default_rng(step).standard_normal(
+                (z.shape[0], self.config.z_dim)).astype(np.float32)
+            z = np.concatenate([noise, z], axis=1)
         imgs, hists = self._sample(
             params, aux, jnp.asarray(z), jnp.asarray(images))
         self.writer.histogram('z', np.asarray(z), step)

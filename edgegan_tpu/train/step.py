@@ -125,6 +125,21 @@ def make_train_step(nets: Networks, config: Config):
         rngs = {name: jax.random.fold_in(rng, i) for i, name in enumerate(
             ['gp_joint', 'gp_image', 'gp_edge', 'noise_e'])}
 
+        if not config.host_z:
+            # z latents on device (round 5): ONE global N(0,1) draw from
+            # the step rng — no per-step host draw or f32 transfer (the
+            # round-3 realdata bench attributed the last 8% of input-
+            # pipeline cost to exactly that, BASELINE.md). The incoming
+            # `z` carries only the class-id column ([B,1] multiclass,
+            # [B,0] single-class); concatenation reproduces the
+            # reference's z||class layout (models/edgegan.py:188-197;
+            # reference draws z on host, dataset.py:72-73). Under DP the
+            # draw is sharding-invariant, so every process computes the
+            # same global latents and uses its own batch rows.
+            z_noise = jax.random.normal(jax.random.fold_in(rng, 8),
+                                        (z.shape[0], z_dim), jnp.float32)
+            z = jnp.concatenate([z_noise, z.astype(jnp.float32)], axis=1)
+
         labels = (z[:, -1].astype(jnp.int32) if config.multiclasses else None)
         z_target32 = z[:, :z_dim] if config.multiclasses else z
         images = images.astype(compute_dtype)

@@ -66,7 +66,7 @@ def main():
                           'input_height': 64, 'input_width': 128,
                           'output_height': 64, 'output_width': 128,
                           'crop': False, 'grayscale': False, 'z_dim': 100,
-                      }, 3, 'train', cache=True)
+                      }, 3, 'train', cache=True, host_z=config.host_z)
     nets = Networks(config)
     rng = jax.random.PRNGKey(0)
     state = create_train_state(nets, rng, config.learning_rate)

@@ -57,6 +57,12 @@ def main(argv=None):
                              'checkpoint as --step). Trajectory sweeps '
                              'must pin one extractor so every point is '
                              'measured in the SAME feature space')
+    parser.add_argument('--extractor_npz', default=None,
+                        help='path to the PINNED cross-run extractor '
+                             '(docs/fid_extractor.npz, trained once by '
+                             'scripts/train_fid_extractor.py). Overrides '
+                             '--extractor_step; numbers scored through '
+                             'it are comparable ACROSS runs')
     args = parser.parse_args(argv)
     config = config_from_args(args).derive('test')
     enable_compilation_cache()
@@ -73,7 +79,9 @@ def main(argv=None):
                          + (f' at step {args.step}' if args.step else ''))
     gen_params = {k: raw['params'][k] for k in ('G1', 'G2', 'E')}
     gen_aux = {k: raw['aux'][k] for k in ('G1', 'G2', 'E')}
-    if args.extractor_step is not None and args.extractor_step != counter:
+    if args.extractor_npz:
+        eraw = None  # pinned cross-run extractor replaces the in-run one
+    elif args.extractor_step is not None and args.extractor_step != counter:
         eloaded, _, eraw = ckpt.load_raw(config.checkpoint_dir,
                                          step=args.extractor_step)
         if not eloaded:
@@ -82,8 +90,9 @@ def main(argv=None):
                              f'{config.checkpoint_dir}')
     else:
         eraw = raw
-    cls_params = {'D2': eraw['params']['D2']}
-    cls_aux = {'D2': eraw['aux']['D2']}
+    if eraw is not None:
+        cls_params = {'D2': eraw['params']['D2']}
+        cls_aux = {'D2': eraw['aux']['D2']}
 
     dataset_config = {
         'input_height': config.input_height,
@@ -113,12 +122,19 @@ def main(argv=None):
     reals = np.concatenate(reals)
     fakes = np.concatenate(fakes)
 
-    extractor = classifier_extractor(nets, cls_params, cls_aux)
+    if args.extractor_npz:
+        from edgegan_tpu.evaluation import pinned_extractor
+        extractor = pinned_extractor(args.extractor_npz)
+    else:
+        extractor = classifier_extractor(nets, cls_params, cls_aux)
     fid_like = compute_fid(reals, fakes, extractor, batch_size=b)
     recon = reconstruction_metrics(reals, fakes)
     print(json.dumps({
         'checkpoint_step': counter,
-        'extractor_step': (args.extractor_step
+        'extractor': (args.extractor_npz if args.extractor_npz
+                      else 'in-run classifier'),
+        'extractor_step': (None if args.extractor_npz
+                           else args.extractor_step
                            if args.extractor_step is not None else counter),
         'split': args.split,
         'n_images': int(len(fakes)),

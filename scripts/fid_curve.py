@@ -43,6 +43,12 @@ def main(argv=None):
                         help='checkpoint whose classifier scores the '
                              'whole sweep (default: the last retained '
                              'step)')
+    parser.add_argument('--extractor_npz', default=None,
+                        help='PINNED cross-run extractor '
+                             '(docs/fid_extractor.npz). With it, no '
+                             'sweep point needs excluding (the extractor '
+                             'is external to the run) and curves are '
+                             'comparable across runs')
     parser.add_argument('--exclude_extractor_point', type=lambda s:
                         s.lower() in ('1', 'true', 'yes'), default=True,
                         help='drop the extractor checkpoint\'s own step '
@@ -66,11 +72,20 @@ def main(argv=None):
     steps = ckpt._all_steps(ckpt_dir)
     if not steps:
         raise SystemExit(f'no checkpoints under {ckpt_dir}')
-    extractor_step = (args.extractor_step if args.extractor_step is not None
-                      else steps[-1])
-    sweep_steps = [s for s in steps
-                   if not (args.exclude_extractor_point
-                           and s == extractor_step)]
+    if args.extractor_npz:
+        # pinned cross-run extractor: external to the run, so every
+        # retained step is a valid sweep point (no co-adaptation risk)
+        extractor_step = None
+        sweep_steps = steps
+        extractor_flags = ['--extractor_npz', args.extractor_npz]
+    else:
+        extractor_step = (args.extractor_step
+                          if args.extractor_step is not None
+                          else steps[-1])
+        sweep_steps = [s for s in steps
+                       if not (args.exclude_extractor_point
+                               and s == extractor_step)]
+        extractor_flags = ['--extractor_step', str(extractor_step)]
     splits = args.splits.split(',')
     rows = []
     for step in sweep_steps:
@@ -78,9 +93,8 @@ def main(argv=None):
         for split in splits:
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
-                evaluate_cli.main(passthrough + [
+                evaluate_cli.main(passthrough + extractor_flags + [
                     '--split', split, '--step', str(step),
-                    '--extractor_step', str(extractor_step),
                     '--limit', str(args.limit),
                     '--eval_batch', str(args.eval_batch)])
             r = json.loads(buf.getvalue().strip().splitlines()[-1])
@@ -92,6 +106,7 @@ def main(argv=None):
     os.makedirs(args.outdir, exist_ok=True)
     summary = {'checkpoint_dir': ckpt_dir, 'n_checkpoints': len(steps),
                'extractor_step': extractor_step,
+               'extractor_npz': args.extractor_npz,
                'extractor_point_excluded': args.exclude_extractor_point,
                'limit': args.limit, 'curve': rows}
     with open(os.path.join(args.outdir, 'fidcurve.json'), 'w') as f:
@@ -114,8 +129,11 @@ def main(argv=None):
     ax_l1.set_xlabel('training step')
     ax_l1.set_ylabel('L1 (real vs generated photo)')
     ax_l1.legend()
+    space = (f'pinned {os.path.basename(args.extractor_npz)}'
+             if args.extractor_npz
+             else f'step-{extractor_step} classifier')
     fig.suptitle(f'EdgeGAN-TPU quality trajectory (classifier-feature '
-                 f'FID in the step-{extractor_step} classifier space; '
+                 f'FID in the {space} space; '
                  f'relative tracking, not InceptionV3 FID)')
     fig.tight_layout()
     fig.savefig(os.path.join(args.outdir, 'fidcurve.png'), dpi=110)

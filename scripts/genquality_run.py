@@ -153,7 +153,11 @@ def _draw_photo(rng, class_id):
     fg = color(30, 225)
     while np.abs(np.subtract(fg, bg_mean)).sum() < 180:  # contrast
         fg = color(30, 225)
-    r = rng.randint(12, 22)                       # shape radius
+    s = H // 64                                   # size scale (1 at 64,
+    r = rng.randint(12 * s, 22 * s)               # 2 at 128): shape radius
+    #                                               grows with the canvas;
+    #                                               at s=1 the rng stream
+    #                                               is unchanged
     cx = rng.randint(r + 4, W - r - 4)
     cy = rng.randint(r + 4, H - r - 4)
     _draw_shape(draw, class_id, cx, cy, r, fg, rng)
@@ -186,20 +190,32 @@ def _edge_map(photo):
 
 def stage(dataroot, seed=7, train_per_class=TRAIN_PER_CLASS,
           test_per_class=TEST_PER_CLASS, num_classes=NUM_CLASSES,
-          dataset='genshapes'):
+          dataset='genshapes', hw=None):
+    """`hw=(h, w)` stages photos at a non-default size (e.g. (128, 128)
+    for the BASELINE config-5 hires run — pairs come out h x 2w). The
+    default 64x64 stream is byte-identical to pre-round-5 staging."""
+    global H, W
     from PIL import Image
     rng = np.random.RandomState(seed)
-    counts = {'train': train_per_class, 'test': test_per_class}
-    for split, per_class in counts.items():
-        for cls in range(num_classes):
-            d = os.path.join(dataroot, dataset, split, str(cls))
-            os.makedirs(d, exist_ok=True)
-            for i in range(per_class):
-                photo = _draw_photo(rng, cls)
-                pair = np.concatenate([_edge_map(photo), photo], axis=1)
-                Image.fromarray(pair).save(
-                    os.path.join(d, f'{i:04d}.png'))
-    return counts['train'] * num_classes, counts['test'] * num_classes
+    old_hw = (H, W)
+    if hw is not None:
+        H, W = hw
+    try:
+        counts = {'train': train_per_class, 'test': test_per_class}
+        for split, per_class in counts.items():
+            for cls in range(num_classes):
+                d = os.path.join(dataroot, dataset, split, str(cls))
+                os.makedirs(d, exist_ok=True)
+                for i in range(per_class):
+                    photo = _draw_photo(rng, cls)
+                    pair = np.concatenate([_edge_map(photo), photo],
+                                          axis=1)
+                    Image.fromarray(pair).save(
+                        os.path.join(d, f'{i:04d}.png'))
+        return (counts['train'] * num_classes,
+                counts['test'] * num_classes)
+    finally:
+        H, W = old_hw
 
 
 def main():
@@ -242,7 +258,7 @@ def main():
               f'checkpoint')            # last finite checkpoint below
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from multiclass_real_run import prune_nonfinite_checkpoints
+    from edgegan_tpu.checkpoint import prune_nonfinite_checkpoints
     ckpt_dir = os.path.join(outputs, 'gqrun', 'checkpoints')
     used_step, pruned = prune_nonfinite_checkpoints(ckpt_dir)
     print(f'evaluating checkpoint step {used_step} '

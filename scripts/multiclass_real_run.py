@@ -58,23 +58,10 @@ def stage(dataroot):
 
 
 def prune_nonfinite_checkpoints(ckpt_dir):
-    """Drop checkpoints whose generator params went non-finite (WGAN
-    critics can diverge on tiny degenerate sets — BASELINE.md), so the
-    eval/test CLIs load the latest FINITE weights."""
-    import numpy as np
-    from edgegan_tpu import checkpoint as ckpt
-    pruned = []
-    while True:
-        step = ckpt.latest_step(ckpt_dir)
-        if step is None:
-            raise SystemExit('no finite checkpoint survived')
-        _, _, raw = ckpt.load_raw(ckpt_dir)
-        leaves = [np.asarray(x) for x in
-                  __import__('jax').tree.leaves(raw['params']['G2'])]
-        if all(np.isfinite(l).all() for l in leaves):
-            return step, pruned
-        pruned.append(step)
-        shutil.rmtree(os.path.join(ckpt_dir, f'EdgeGAN-Model-{step}'))
+    """Moved into the checkpoint layer (round 5); kept as an alias for
+    older callers. See edgegan_tpu.checkpoint.prune_nonfinite_checkpoints."""
+    from edgegan_tpu.checkpoint import prune_nonfinite_checkpoints as prune
+    return prune(ckpt_dir)
 
 
 def main():

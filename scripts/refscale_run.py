@@ -206,19 +206,29 @@ def main():
     import io
 
     import evaluate as evaluate_cli
+    # pinned cross-run extractor (round 5): if the committed artifact
+    # exists, score in its feature space so the numbers are comparable
+    # across runs/rounds (VERDICT r4 #4); otherwise fall back to the
+    # run's own last checkpoint (within-run trajectories only)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pinned = os.path.join(repo, 'docs', 'fid_extractor.npz')
+    ext_flags = (['--extractor_npz', pinned] if os.path.exists(pinned)
+                 else [])
     evals = {}
     for split, limit in [('train', 512), ('test', n_test)]:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            evaluate_cli.main(common + ['--split', split,
-                                        '--limit', str(limit),
-                                        '--eval_batch', '32'])
+            evaluate_cli.main(common + ext_flags
+                              + ['--split', split,
+                                 '--limit', str(limit),
+                                 '--eval_batch', '32'])
         evals[split] = json.loads(buf.getvalue().strip().splitlines()[-1])
         print(split, evals[split], flush=True)
 
-    # ---- FID trajectory over the ladder (extractor excluded) ----
+    # ---- FID trajectory over the ladder ----
     import fid_curve as fid_curve_cli
-    fid_curve_cli.main(common + ['--outdir', outdir, '--limit', '256'])
+    fid_curve_cli.main(common + ext_flags
+                       + ['--outdir', outdir, '--limit', '256'])
     for src, dst in [('fidcurve.json', 'refscale_fidcurve.json'),
                      ('fidcurve.png', 'refscale_fidcurve.png')]:
         shutil.move(os.path.join(outdir, src), os.path.join(outdir, dst))

@@ -49,7 +49,7 @@ def measure(config_kw, n_steps=40, want_cost=False, trace_dir=None):
     images = jnp.asarray(np.random.RandomState(0).randn(
         b, config.output_height, config.output_width, 3
     ).astype(np.float32).clip(-1, 1))
-    zdim = config.z_dim + (1 if config.multiclasses else 0)
+    zdim = config.z_feed_width()  # class column only under device z
     z = np.random.RandomState(1).randn(b, zdim).astype(np.float32)
     if config.multiclasses:
         z[:, -1] = np.random.RandomState(2).randint(

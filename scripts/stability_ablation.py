@@ -80,6 +80,11 @@ def run_one(tag, steps, lr, extra_flags=(), env_extra=None, seed=0):
            '--seed', str(seed),
            '--save_checkpoint_frequency', '1000000',
            '--summary_frequency', '1000000',
+           # host-drawn z (the pre-round-5 default): keeps every arm on
+           # the SAME z stream as the round-3/4 onset data this table
+           # extends — flipping to device z would change the latent
+           # sequence and make onsets incomparable across rounds
+           '--host_z', 'true',
            '--nan_policy', 'halt'] + list(extra_flags)
     env = dict(os.environ)
     env.update(env_extra or {})
@@ -137,8 +142,15 @@ def main():
     if only is not None and os.path.exists(out_path):
         with open(out_path) as f:
             prior = json.load(f)
-        if prior.get('lr') == lr and prior.get('step_cap') == steps:
+        if prior.get('lr') == lr:
             results = prior.get('results', {})
+            # pre-round-5 files carried one global step_cap; stamp it
+            # onto arms that don't record their own (caps are per-arm
+            # now: the round-5 extension reruns the decisive arms at a
+            # 5,000 cap while keeping the 2,520-cap arms' data)
+            old_cap = prior.get('step_cap')
+            for r in results.values():
+                r.setdefault('step_cap', old_cap)
 
     os.makedirs(outdir, exist_ok=True)
     for tag, flags, env_extra, seed in runs:
@@ -147,22 +159,22 @@ def main():
         onset, steps_run, wall = run_one(tag, steps, lr, flags,
                                          env_extra, seed)
         results[tag] = {'onset': onset, 'steps_run': steps_run,
-                        'wall_s': round(wall, 1)}
+                        'step_cap': steps, 'wall_s': round(wall, 1)}
         print(f'{tag:12s} onset={onset} steps_run={steps_run} '
               f'wall={wall:.0f}s', flush=True)
         # persist incrementally: an interrupted sweep keeps finished arms
-        payload = {'lr': lr, 'step_cap': steps, 'dataset':
+        payload = {'lr': lr, 'dataset':
                    'procedural 4-class soft-edge (1920 pairs, seed 7)',
                    'results': results}
         with open(out_path, 'w') as f:
             json.dump(payload, f, indent=2)
 
-    print('\n| variant | divergence onset (step) |')
-    print('|---|---|')
+    print('\n| variant | divergence onset (step) | cap |')
+    print('|---|---|---|')
     for tag, r in results.items():
         cell = (str(r['onset']) if r['onset'] is not None
                 else f"finite through {r['steps_run']}")
-        print(f'| {tag} | {cell} |')
+        print(f"| {tag} | {cell} | {r.get('step_cap')} |")
 
 
 if __name__ == '__main__':

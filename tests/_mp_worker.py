@@ -57,7 +57,8 @@ def main():
     b = cfg.batch_size
     images_g = np.random.RandomState(0).randn(
         b, 32, 64, 3).astype(np.float32).clip(-1, 1)
-    z_g = np.random.RandomState(1).randn(b, 9).astype(np.float32)
+    z_g = np.random.RandomState(1).randn(
+        b, cfg.z_feed_width()).astype(np.float32)
     z_g[:, -1] = np.random.RandomState(2).randint(0, 3, b)
     lo = pid * (b // nproc)
     hi = lo + b // nproc

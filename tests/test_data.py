@@ -206,6 +206,19 @@ class TestZStreams:
                                 rng=np.random.RandomState(5))[0][1])
         assert not np.array_equal(z_p0[:, :-1], z_p1[:, :-1])
 
+    def test_device_z_feed_is_class_column_only(self, dataroot):
+        """host_z=False (the Config default, round 5): the step draws
+        latents on device, so the dataset returns ONLY the class-id
+        column (multiclass) or a width-0 array (single-class) — no host
+        Gaussian draw or f32 latent transfer per step."""
+        ds = Dataset(dataroot, 'ds', float('inf'), 4, CFG, 3, 'train',
+                     seed=5, host_z=False)
+        _imgs, z, files = ds[0]
+        assert z.shape == (4, 1)
+        expected = [float(os.path.basename(os.path.dirname(f)))
+                    for f in files]
+        np.testing.assert_array_equal(np.asarray(z).ravel(), expected)
+
     def test_shuffle_seeded_single_process(self, dataroot):
         """Same --seed => same epoch file order (the reference's
         unseeded-global shuffle loses reproducibility; --seed wins)."""

@@ -36,7 +36,8 @@ def test_sharded_train_step(devices):
     b = cfg.batch_size
     images = np.random.RandomState(0).randn(
         b, 32, 64, 3).astype(np.float32).clip(-1, 1)
-    z = np.random.RandomState(1).randn(b, 9).astype(np.float32)
+    z = np.random.RandomState(1).randn(
+        b, cfg.z_feed_width()).astype(np.float32)
     z[:, -1] = np.random.RandomState(2).randint(0, 3, b)
     images, z = shard_batch(mesh, images, z)
     assert images.sharding.spec == P('data')
@@ -61,7 +62,10 @@ def test_sharded_matches_single_device(devices):
     b = cfg.batch_size
     images = jnp.asarray(np.random.RandomState(0).randn(
         b, 32, 64, 3).astype(np.float32).clip(-1, 1))
-    z_np = np.random.RandomState(1).randn(b, 9).astype(np.float32)
+    # device-z default: the feed is the class column; the step's global
+    # on-device draw must be sharding-invariant for this test to pass
+    z_np = np.random.RandomState(1).randn(
+        b, cfg.z_feed_width()).astype(np.float32)
     z_np[:, -1] = np.random.RandomState(2).randint(0, 3, b)
     z = jnp.asarray(z_np)
 
@@ -130,7 +134,8 @@ def test_two_process_distributed(tmp_path):
     b = cfg.batch_size
     images = np.random.RandomState(0).randn(
         b, 32, 64, 3).astype(np.float32).clip(-1, 1)
-    z = np.random.RandomState(1).randn(b, 9).astype(np.float32)
+    z = np.random.RandomState(1).randn(
+        b, cfg.z_feed_width()).astype(np.float32)
     z[:, -1] = np.random.RandomState(2).randint(0, 3, b)
     step = jax.jit(make_train_step(nets, cfg))
     _, ref = step(state, jnp.asarray(images), jnp.asarray(z),

@@ -13,7 +13,7 @@ def make_batch(cfg, seed=0):
     images = jnp.asarray(np.random.RandomState(seed).randn(
         b, cfg.output_height, cfg.output_width, 3).astype(np.float32)
         .clip(-1, 1))
-    zdim = cfg.z_dim + (1 if cfg.multiclasses else 0)
+    zdim = cfg.z_feed_width()  # full z (host_z) or class column (device z)
     z = np.random.RandomState(seed + 1).randn(b, zdim).astype(np.float32)
     if cfg.multiclasses:
         z[:, -1] = np.random.RandomState(seed + 2).randint(

@@ -36,6 +36,25 @@ def test_writer_produces_event_files(tmp_path):
     assert events and os.path.getsize(events[0]) > 1000
 
 
+def test_extras_accepts_device_z_feed(tmp_path):
+    """Under the device-z default (Config.host_z=False) the train loop
+    hands extras a class-column-only z ([B,1]); the writer must widen it
+    with a step-seeded latent for the sample forward + z histogram."""
+    cfg = tiny_cfg()
+    assert cfg.z_feed_width() == 1
+    nets = Networks(cfg)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    tb = SummaryWriter(str(tmp_path), nets, cfg)
+    images = np.random.RandomState(0).randn(4, 32, 64, 3).astype(
+        np.float32).clip(-1, 1)
+    z = np.zeros((4, 1), np.float32)  # class ids only
+    tb.extras(1, state, images, z)
+    tb.close()
+    events = glob.glob(os.path.join(str(tmp_path), 'events.out.*'))
+    assert events and os.path.getsize(events[0]) > 1000
+
+
 def test_written_tag_set_is_reference_superset(tmp_path):
     """The written TB tag set must cover everything the reference's
     d_sum/g_sum contain (models/edgegan.py:344-411)."""

@@ -23,7 +23,7 @@ def make_batch(cfg):
     images = jnp.asarray(np.random.RandomState(0).randn(
         b, cfg.output_height, cfg.output_width, 3).astype(np.float32)
         .clip(-1, 1))
-    zdim = cfg.z_dim + (1 if cfg.multiclasses else 0)
+    zdim = cfg.z_feed_width()  # full z (host_z) or class column (device z)
     z = np.random.RandomState(1).randn(b, zdim).astype(np.float32)
     if cfg.multiclasses:
         z[:, -1] = np.random.RandomState(2).randint(0, cfg.num_classes, b)
@@ -138,6 +138,44 @@ def test_reference_metrics_protocol():
     # ... but post-apply loss evaluations differ from inline ones
     assert any(abs(out['inline'][1][k] - out['ref'][1][k]) > 1e-9
                for k in ('joint_dis_dloss', 'edge_gloss', 'image_gloss'))
+
+
+def test_host_z_mode_consumes_fed_latents():
+    """--host_z true (the reference's dataset.py:72-73 semantics): the
+    step consumes the fed z verbatim, so changing the fed latents moves
+    the losses. Under the device-z default the latents come from the
+    step rng instead, so the class column alone doesn't pin them."""
+    cfg = tiny_cfg(host_z=True)
+    assert cfg.z_feed_width() == cfg.z_dim + 1
+    nets = Networks(cfg)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    step = jax.jit(make_train_step(nets, cfg))
+    images, z = make_batch(cfg)
+    _, m1 = step(state, images, z, jax.random.PRNGKey(3))
+    # same feed, same rng -> identical
+    _, m1b = step(state, images, z, jax.random.PRNGKey(3))
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m1b[k]), rtol=1e-6)
+    # different latents (same class column) -> losses move
+    z2 = np.array(z)
+    z2[:, :-1] = z2[:, :-1] + 0.5
+    _, m2 = step(state, images, jnp.asarray(z2), jax.random.PRNGKey(3))
+    assert any(abs(float(m1[k]) - float(m2[k])) > 1e-7 for k in m1)
+
+
+def test_device_z_latents_come_from_rng():
+    """Device-z default: with identical feeds, changing only the step
+    rng changes the drawn latents (zl_loss depends on them directly)."""
+    cfg = tiny_cfg()
+    nets = Networks(cfg)
+    state = create_train_state(nets, jax.random.PRNGKey(0),
+                               cfg.learning_rate)
+    step = jax.jit(make_train_step(nets, cfg))
+    images, z = make_batch(cfg)
+    _, m1 = step(state, images, z, jax.random.PRNGKey(3))
+    _, m2 = step(state, images, z, jax.random.PRNGKey(4))
+    assert abs(float(m1['zl_loss']) - float(m2['zl_loss'])) > 1e-7
 
 
 def test_rmsprop_matches_tf_semantics():
