@@ -99,8 +99,25 @@ def main(argv=None):
     elif p0:
         print(' [!] Load failed...')
 
-    train_step = jax.jit(make_train_step(nets, config),
-                         donate_argnums=(0,))
+    # Pack the ~11 scalar metrics into ONE stacked f32 array inside the
+    # jitted step: a device_get of a dict pulls leaf-by-leaf, and on the
+    # remote-TPU tunnel each leaf is its own round trip — measured as
+    # the dominant per-step host cost of the real loop (~0.09 s/step of
+    # the 0.15 s/step steady state; bench.py at 0.056 and the realdata
+    # bench at 0.061 never pull metrics). One array = one transfer.
+    # `metric_names` fills at trace time (before any result is pulled).
+    base_step = make_train_step(nets, config)
+    metric_names = []
+
+    def packed_step(state, images, z, rng):
+        new_state, metrics = base_step(state, images, z, rng)
+        names = sorted(metrics)
+        if not metric_names:
+            metric_names.extend(names)
+        return new_state, jax.numpy.stack(
+            [metrics[k].astype(jax.numpy.float32) for k in names])
+
+    train_step = jax.jit(packed_step, donate_argnums=(0,))
     if nproc > 1:
         # AOT-compile on every process, then rendezvous. Without this,
         # inter-process compile-time skew (persistent-cache hit on one
@@ -185,17 +202,16 @@ def main(argv=None):
         ~0.14 s/step of the 0.20 s/step total (BASELINE.md round 4).
         """
         nonlocal nan_streak
-        # One bulk device->host transfer (8 separate float() pulls would
-        # cost 8 round trips through the TPU tunnel). Metrics are
-        # replicated, so EVERY process pulls its local copy: the
-        # NaN-halt decision below is taken identically on all
+        # The step returns metrics as ONE stacked f32 array (see
+        # packed_step): a single device->host transfer per step. The
+        # array is replicated, so EVERY process pulls its local copy:
+        # the NaN-halt decision below is taken identically on all
         # processes, making the Orbax save collective.
         if nproc > 1:
-            metrics = {k: float(np.asarray(v.addressable_data(0)))
-                       for k, v in device_metrics.items()}
+            vals = np.asarray(device_metrics.addressable_data(0))
         else:
-            metrics = {k: float(v) for k, v in
-                       jax.device_get(device_metrics).items()}
+            vals = np.asarray(jax.device_get(device_metrics))
+        metrics = {k: float(v) for k, v in zip(metric_names, vals)}
         if p0:
             d_err = (metrics.get('joint_dis_dloss', 0.0)
                      + metrics.get('image_dis_dloss', 0.0)

@@ -196,10 +196,13 @@ def test_fid_curve_sweep(tmp_path):
                     '--name', 'fc', '--outputsroot', outputs])
     summary = json.load(open(os.path.join(outdir, 'fidcurve.json')))
     assert summary['n_checkpoints'] == 2
-    # feature space pinned to ONE classifier (the last retained step)
-    # so the curve is comparable across steps
+    # feature space pinned to ONE classifier (the last retained step),
+    # and that step's own point EXCLUDED by default (round-4
+    # co-adaptation fix: scoring a generator with the same-step
+    # extractor deflates that point)
     assert summary['extractor_step'] == 502
-    assert [r['step'] for r in summary['curve']] == [2, 502]
+    assert summary['extractor_point_excluded'] is True
+    assert [r['step'] for r in summary['curve']] == [2]
     for row in summary['curve']:
         for split in ('train', 'test'):
             assert np.isfinite(row[split]['classifier_fid'])
