@@ -82,6 +82,14 @@ def main(argv=None):
     nets = Networks(config)
     rng = jax.random.PRNGKey(config.seed)
     state = create_train_state(nets, rng, config.learning_rate)
+    # Per-step rng stream, selectable by --rng_salt (divergence rescue:
+    # a relaunch with a new salt resumes from the last finite checkpoint
+    # on a fresh GP-alpha/encoder-noise/device-z stream instead of
+    # deterministically replaying into the same divergence). Param init
+    # above stays on the UNSALTED key — rescued runs restore params from
+    # the checkpoint anyway, and fresh runs stay seed-reproducible.
+    step_stream = (jax.random.fold_in(rng, config.rng_salt)
+                   if config.rng_salt else rng)
     if p0:
         show_all_variables(state.params)
     if mesh is not None:
@@ -133,7 +141,8 @@ def main(argv=None):
             np.zeros((local_b, config.output_height, config.output_width,
                       3), img_dt),
             np.zeros((local_b, zdim), np.float32))
-        dkey = jax.device_put(jax.random.fold_in(rng, 0), replicated(mesh))
+        dkey = jax.device_put(jax.random.fold_in(step_stream, 0),
+                              replicated(mesh))
         train_step = train_step.lower(state, di, dz, dkey).compile()
         barrier('edgegan_train_step_compiled')
         # create the Gloo/ICI communicator contexts inside the
@@ -267,7 +276,7 @@ def main(argv=None):
                 jax.profiler.start_trace(
                     os.path.join(config.logdir, 'profile'))
                 profiling = True
-            step_rng = jax.random.fold_in(rng, counter)
+            step_rng = jax.random.fold_in(step_stream, counter)
             if nproc > 1:
                 # match the AOT-compiled executable's input sharding
                 step_rng = jax.device_put(step_rng, replicated(mesh))

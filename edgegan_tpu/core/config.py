@@ -100,6 +100,17 @@ class Config:
     #                               once per streak), 'halt' (save a
     #                               checkpoint and exit 1), 'ignore'
     #                               (reference behavior: train on).
+    rng_salt: int = 0             # Divergence-rescue stream selector:
+    #                               folded into the per-step rng stream
+    #                               (GP alpha, encoder noise, device-z
+    #                               draws) but NOT into param init. A
+    #                               relaunch with a new salt resumes from
+    #                               the last finite checkpoint on a fresh
+    #                               noise stream, escaping a WGAN-GP
+    #                               divergence attractor that a
+    #                               deterministic replay would walk
+    #                               straight back into. 0 = the unsalted
+    #                               stream (bit-exact with pre-salt runs).
     host_z: bool = False          # False (default): z latents are drawn
     #                               INSIDE the jitted step from the step
     #                               rng — nothing transferred per step,

@@ -34,17 +34,32 @@ class TrainState(flax.struct.PyTreeNode):
     opt_states: Dict[str, PyTree]    # keyed by GROUP_KEYS subset
 
 
-def create_train_state(networks, rng, learning_rate: float) -> TrainState:
-    params, aux = networks.init(rng)
-    tx = make_optimizer(learning_rate)
-    opt_states = {}
-    mapping = {'d': 'D', 'd_patch2': 'D_patch2', 'd_patch3': 'D_patch3',
-               'd2': 'D2', 'g1': 'G1', 'g2': 'G2', 'e': 'E'}
-    for group, net in mapping.items():
-        if net in params:
-            opt_states[group] = tx.init(params[net])
-    # step as a strong-typed device scalar: a Python int would change
-    # aval weak_type after the first update and force a recompile.
+def create_train_state(networks, rng, learning_rate: float,
+                       jit_init: bool = True) -> TrainState:
+    import jax
     import jax.numpy as jnp
-    return TrainState(step=jnp.asarray(0, jnp.int32), params=params,
-                      aux=aux, opt_states=opt_states)
+
+    def build(rng) -> TrainState:
+        params, aux = networks.init(rng)
+        tx = make_optimizer(learning_rate)
+        opt_states = {}
+        mapping = {'d': 'D', 'd_patch2': 'D_patch2', 'd_patch3': 'D_patch3',
+                   'd2': 'D2', 'g1': 'G1', 'g2': 'G2', 'e': 'E'}
+        for group, net in mapping.items():
+            if net in params:
+                opt_states[group] = tx.init(params[net])
+        # step as a strong-typed device scalar: a Python int would change
+        # aval weak_type after the first update and force a recompile.
+        return TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                          aux=aux, opt_states=opt_states)
+
+    # One jitted program instead of eager per-op dispatch: on the remote
+    # TPU backend the eager init is ~470 s of tunnel round trips (one per
+    # op across 7 networks + optimizer slots), measured round 5; the
+    # compiled program is ~48 s once and ~0 s from the persistent
+    # compilation cache in every later process. Values differ from the
+    # eager path only at fusion rounding (<2e-6 max abs, tested); pass
+    # jit_init=False for the pre-round-5 eager bits.
+    if jit_init:
+        return jax.jit(build)(rng)
+    return build(rng)

@@ -16,9 +16,16 @@ the tests use), proving at full state size:
     both processes and continues.
 
 CPU steps at this size are slow (the point is the multi-process
-protocol, not throughput), so the run is sized in steps, not epochs.
+protocol, not throughput), so the run is sized in steps, not epochs,
+and the default batch is 16 (8/process): the protocol under test —
+AOT+barrier startup, collective async saves, preemption sync, resume —
+depends on the ARCHITECTURE and STATE size, which are batch-free; a
+full-size batch-64 CPU step measured ~1,160 s on this 1-core box vs
+~290 s at batch 16, which is the difference between the run fitting
+its deadlines and not.
 
 Usage: python scripts/mp_fullsize_run.py [kill_after_steps] [outdir]
+                                         [batch]
 Writes <outdir>/mp_fullsize.json.
 """
 import json
@@ -36,7 +43,7 @@ DATAROOT = '/tmp/edgegan_mpfs_data'
 OUTPUTS = '/tmp/edgegan_mpfs_run'
 NAME = 'mpfs'
 NUM_CLASSES = 14
-BATCH = 64  # global; 32 per process
+BATCH = 16  # global default; half per process (see docstring)
 
 
 WORKER = r'''
@@ -75,11 +82,14 @@ def spawn(flags, logdir, tag):
 def main():
     kill_after = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     outdir = sys.argv[2] if len(sys.argv) > 2 else 'docs'
+    global BATCH
+    if len(sys.argv) > 3:
+        BATCH = int(sys.argv[3])
 
     from genquality_run import stage
     if not os.path.exists(os.path.join(DATAROOT, 'genshapes')):
-        stage(DATAROOT, seed=31, train_per_class=32, test_per_class=4,
-              num_classes=NUM_CLASSES)  # 448 pairs -> 7 steps/epoch
+        stage(DATAROOT, seed=31, train_per_class=8, test_per_class=4,
+              num_classes=NUM_CLASSES)  # 112 pairs -> 7 steps/epoch @16
     import shutil
     shutil.rmtree(OUTPUTS, ignore_errors=True)
     os.makedirs(OUTPUTS, exist_ok=True)
@@ -101,7 +111,7 @@ def main():
     # ---- segment 1: train until kill_after steps, then SIGTERM p1 ----
     t0 = time.time()
     procs, logs = spawn(flags, OUTPUTS, 'seg1')
-    deadline = time.time() + 3600
+    deadline = time.time() + 10800
     killed_at = None
     while time.time() < deadline:
         done = [p.poll() for p in procs]
@@ -118,7 +128,7 @@ def main():
             print(f' [kill] SIGTERM to process 1 after {n} logged steps',
                   flush=True)
         time.sleep(3)
-    rcs = [p.wait(timeout=900) for p in procs]
+    rcs = [p.wait(timeout=1800) for p in procs]
     seg1_wall = time.time() - t0
     out0 = open(logs[0]).read()
     assert rcs == [0, 0], (rcs, out0[-4000:],
@@ -136,7 +146,7 @@ def main():
     # ---- segment 2: collective resume, run to a clean epoch end ----
     t1 = time.time()
     procs, logs = spawn([*flags[:-2], '--epoch', '1'], OUTPUTS, 'seg2')
-    rcs = [p.wait(timeout=3600) for p in procs]
+    rcs = [p.wait(timeout=10800) for p in procs]
     seg2_wall = time.time() - t1
     out0 = open(logs[0]).read()
     assert rcs == [0, 0], (rcs, out0[-4000:],
@@ -148,8 +158,9 @@ def main():
     final_step = [r['step'] for r in lines if 'step' in r][-1]
 
     summary = {
-        'config': '64x128, 14 classes, batch 64 global (32/process), '
-                  'full-size architecture, f32',
+        'config': f'64x128, 14 classes, batch {BATCH} global '
+                  f'({BATCH // 2}/process), full-size architecture '
+                  f'(~40M-param state, batch-free), f32',
         'nproc': 2,
         'seg1_steps_logged': seg1_steps,
         'sigterm_to_process': 1,

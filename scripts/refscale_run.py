@@ -57,6 +57,15 @@ def _launch(common, epochs, lr, save_freq, log_path):
         '--save_checkpoint_frequency', str(save_freq),
         '--keep_checkpoint_max', '25',
         '--summary_frequency', '2000',
+        # host-drawn z: the round-4 refscale run (and every onset table)
+        # used the seeded host stream; the device-z default draws a
+        # DIFFERENT (equally distributed) latent sequence, and in this
+        # edge-of-stability regime that alone moves the divergence onset
+        # (a device-z attempt at the same lr 1e-4 NaN-halted at step
+        # 1921 where the host-z trajectory runs 22k steps finite —
+        # BASELINE.md stability notes). Pinning host_z keeps the
+        # reference-scale protocol comparable across rounds.
+        '--host_z', 'true',
         '--nan_policy', 'halt',
     ]
     # stdout goes to a FILE, not a pipe: at 22k steps the trainer's
@@ -117,89 +126,73 @@ def main():
     ]
     metrics_path = os.path.join(OUTPUTS, NAME, 'logs', 'metrics.jsonl')
 
-    # ---- segment 1: train until the mid-run kill ----
+    # ---- training: segments until total_steps, with one mid-run kill
+    # and automatic divergence rescue. The epoch loop restarts on resume
+    # (reference models/edgegan.py:456 restarts epochs from 0 with the
+    # counter carried over — same here), so each relaunch gets only the
+    # REMAINING epochs. A NaN-halt (nan_policy=halt saves to the -halt
+    # namespace, invisible to resume) triggers a relaunch from the last
+    # FINITE checkpoint with a fresh --rng_salt: a deterministic replay
+    # would walk back into the same divergence, a salted noise stream
+    # almost never does (BASELINE.md stability notes). Rescues are
+    # recorded in the summary — this is the framework's divergence
+    # story at reference scale, not hidden retries.
     print(f'target {total_steps} steps ({epochs} epochs x '
           f'{steps_per_epoch}); SIGTERM at ~step {kill_at}', flush=True)
-    t_train0 = time.time()
-    seg1_log = os.path.join(os.path.dirname(OUTPUTS) or '/tmp',
-                            f'{NAME}_seg1.log')
-    proc = _launch(common, epochs, lr, save_freq, seg1_log)
-    killed_at = None
-    while proc.poll() is None:
-        time.sleep(5)
-        _, last = _count_steps(metrics_path)
-        if last is not None and last >= kill_at and killed_at is None:
-            print(f' [kill] SIGTERM at step {last}', flush=True)
-            proc.send_signal(signal.SIGTERM)
-            killed_at = last
-    proc.wait()
-    out1 = open(seg1_log).read()
-    seg1_wall = time.time() - t_train0
     HALT = 'nan_policy=halt'
-    diverged_at = None
-    if proc.returncode == 1 and HALT in out1:
-        # NaN-halt: salvage the partial run (record onset, evaluate
-        # whatever checkpoints exist) instead of crashing the harness.
-        n1, last1 = _count_steps(metrics_path)
-        diverged_at = last1
-        print(f' [!] segment 1 NaN-halted at step {last1}', flush=True)
-    elif proc.returncode != 0:
-        print(out1[-4000:])
-        raise SystemExit(f'segment 1 exited {proc.returncode}')
-    n1, last1 = _count_steps(metrics_path)
-    print(f'segment 1: {n1} steps (last {last1}) in {seg1_wall:.0f}s',
-          flush=True)
-
-    # ---- segment 2: resume to completion ----
-    # The epoch loop restarts on resume (reference models/edgegan.py:456
-    # restarts epochs from 0 with the counter carried over — same here),
-    # so the relaunch gets only the REMAINING epochs.
-    if diverged_at is not None:
-        last2, seg2_wall = last1, 0.0
-        train_wall = seg1_wall
-    else:
-        remaining_epochs = max(1, -(-(total_steps - last1)
-                                    // steps_per_epoch))
-        t_seg2 = time.time()
-        seg2_log = os.path.join(os.path.dirname(OUTPUTS) or '/tmp',
-                                f'{NAME}_seg2.log')
-        proc = _launch(common, remaining_epochs, lr, save_freq, seg2_log)
+    MAX_RESCUES = 4
+    killed_at = None
+    rescues = []       # last logged step of each NaN-halted segment
+    seg_walls = []
+    salt = 0
+    seg = 0
+    while True:
+        _, done = _count_steps(metrics_path)
+        if done is not None and done >= total_steps:
+            break
+        seg += 1
+        remaining = max(1, -(-(total_steps - (done or 0))
+                             // steps_per_epoch))
+        log_path = os.path.join(os.path.dirname(OUTPUTS) or '/tmp',
+                                f'{NAME}_seg{seg}.log')
+        extra = ['--rng_salt', str(salt)] if salt else []
+        t_seg = time.time()
+        proc = _launch(common + extra, remaining, lr, save_freq, log_path)
+        while proc.poll() is None:
+            time.sleep(5)
+            if killed_at is None:
+                _, cur = _count_steps(metrics_path)
+                if cur is not None and cur >= kill_at:
+                    print(f' [kill] SIGTERM at step {cur}', flush=True)
+                    proc.send_signal(signal.SIGTERM)
+                    killed_at = cur
         proc.wait()
-        out2 = open(seg2_log).read()
-        seg2_wall = time.time() - t_seg2
-        if proc.returncode == 1 and HALT in out2:
-            _, last2 = _count_steps(metrics_path)
-            diverged_at = last2
-            print(f' [!] segment 2 NaN-halted at step {last2}',
-                  flush=True)
-        elif proc.returncode != 0:
-            print(out2[-4000:])
-            raise SystemExit(f'segment 2 exited {proc.returncode}')
-        else:
-            _, last2 = _count_steps(metrics_path)
-        assert ' [*] Load SUCCESS' in out2, 'resume did not restore'
-        train_wall = seg1_wall + seg2_wall
-        print(f'segment 2 (resumed): through step {last2} in '
-              f'{seg2_wall:.0f}s; total train wall '
-              f'{train_wall / 60:.1f} min', flush=True)
-
-    if diverged_at is not None:
-        # NaN params make eval/FID/samples meaningless: keep the loss
-        # curves + metrics + a summary recording the onset, and stop.
-        os.makedirs(outdir, exist_ok=True)
-        shutil.copy(metrics_path,
-                    os.path.join(outdir, 'refscale_metrics.jsonl'))
-        summary = {
-            'diverged_at_step': diverged_at,
-            'target_steps': total_steps,
-            'lr': lr,
-            'train_wall_s': round(train_wall, 1),
-            'mid_run_kill_at_step': killed_at,
-        }
-        with open(os.path.join(outdir, 'refscale_eval.json'), 'w') as f:
-            json.dump(summary, f, indent=2)
-        print(json.dumps(summary), flush=True)
-        return
+        seg_walls.append(time.time() - t_seg)
+        out = open(log_path).read()
+        _, last = _count_steps(metrics_path)
+        if seg > 1:
+            assert ' [*] Load SUCCESS' in out, 'relaunch did not restore'
+        if proc.returncode == 0:
+            print(f'segment {seg}: through step {last} in '
+                  f'{seg_walls[-1]:.0f}s', flush=True)
+            continue
+        if proc.returncode == 1 and HALT in out:
+            salt += 1
+            rescues.append(last)
+            print(f' [!] segment {seg} NaN-halted at step {last}; '
+                  f'rescue {len(rescues)}: resume last finite '
+                  f'checkpoint with --rng_salt {salt}', flush=True)
+            if len(rescues) > MAX_RESCUES:
+                raise SystemExit(f'diverged {len(rescues)} times '
+                                 f'(onsets {rescues}); giving up')
+            continue
+        print(out[-4000:])
+        raise SystemExit(f'segment {seg} exited {proc.returncode}')
+    train_wall = sum(seg_walls)
+    _, last2 = _count_steps(metrics_path)
+    print(f'{seg} segments, {len(rescues)} rescue(s){rescues or ""}: '
+          f'through step {last2} in {train_wall / 60:.1f} min',
+          flush=True)
 
     # ---- evaluation: held-out + train split at the final checkpoint ----
     import contextlib
@@ -301,7 +294,8 @@ def main():
         'speedup_vs_reference_wall': round(15 * 3600 / train_wall, 1),
         'mid_run_kill_at_step': killed_at,
         'resume_markers': resume_markers,
-        'segment_walls_s': [round(seg1_wall, 1), round(seg2_wall, 1)],
+        'divergence_rescues': rescues,
+        'segment_walls_s': [round(w, 1) for w in seg_walls],
         'eval': evals,
         'note': 'procedural 14-class stand-in for SketchyCOCO (no '
                 'network egress in this environment); every pair a '

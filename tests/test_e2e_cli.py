@@ -403,3 +403,39 @@ def test_train_resumes_from_checkpoint(tmp_path):
     assert [m['step'] for m in rows] == [2, 3, 4, 5]
     resumed_3 = [m for m in lines if m.get('step') == 3][-1]
     assert rows[1] == resumed_3
+
+
+def test_rng_salt_selects_step_stream(tmp_path):
+    """--rng_salt (round-5 divergence rescue) re-derives the per-step
+    rng stream (GP alpha, encoder noise, device-z draws) without
+    touching param init or data order: two fresh runs that differ only
+    in salt must produce different step metrics, and the salt must land
+    in flags.json so a rescued run's provenance is on disk."""
+    from edgegan_tpu.cli import train as cli_train
+
+    dataroot = str(tmp_path / 'data')
+    synth_dataset(dataroot, n_train=8, n_test=1)
+
+    def run(salt, tag):
+        outputs = str(tmp_path / f'out_{tag}')
+        cli_train.main(common_flags(dataroot, outputs) + [
+            '--batch_size', '8', '--epoch', '1',
+            '--save_checkpoint_frequency', '1000000',
+            '--summary_frequency', '1000000',
+            '--rng_salt', str(salt)])
+        flags = json.load(open(os.path.join(outputs, 'e2e',
+                                            'flags.json')))
+        rows = [json.loads(l) for l in
+                open(os.path.join(outputs, 'e2e', 'logs',
+                                  'metrics.jsonl'))]
+        rows = [r for r in rows if 'step' in r]
+        return flags, rows
+
+    flags0, rows0 = run(0, 'salt0')
+    flags7, rows7 = run(7, 'salt7')
+    assert flags0['rng_salt'] == 0 and flags7['rng_salt'] == 7
+    assert [r['step'] for r in rows0] == [r['step'] for r in rows7]
+    key = next(k for k in rows0[0] if k not in ('step', 'epoch'))
+    vals0 = [r[key] for r in rows0]
+    vals7 = [r[key] for r in rows7]
+    assert vals0 != vals7, 'salt did not change the step-rng stream'
