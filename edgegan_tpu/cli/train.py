@@ -93,6 +93,15 @@ def main(argv=None):
     if p0:
         show_all_variables(state.params)
     if mesh is not None:
+        # The replicated device_put below is itself a COLLECTIVE at
+        # nproc>1 (jax verifies replicated values across processes via a
+        # Gloo/ICI allgather), and it is the first executed collective
+        # of the process — rendezvous first, or import/init-time skew
+        # between processes (> the ~30 s Gloo context key-exchange
+        # window on a loaded host) kills the faster peer. Observed on
+        # the full-size nproc=2 resume (scripts/mp_fullsize_run.py):
+        # segment 2 died here with GetKeyValue() DEADLINE_EXCEEDED.
+        barrier('edgegan_state_replicate')
         state = jax.device_put(state, replicated(mesh))
 
     counter = 1

@@ -55,17 +55,21 @@ def _launch(common, epochs, lr, save_freq, log_path):
         '--dtype', 'bfloat16',
         '--epoch', str(epochs),
         '--save_checkpoint_frequency', str(save_freq),
-        '--keep_checkpoint_max', '25',
+        # retain the WHOLE cadence ladder: the FID trajectory sweeps
+        # retained checkpoints, and at save_freq 500 a keep of 25 would
+        # GC the early half of the curve
+        '--keep_checkpoint_max', '60',
         '--summary_frequency', '2000',
-        # host-drawn z: the round-4 refscale run (and every onset table)
-        # used the seeded host stream; the device-z default draws a
-        # DIFFERENT (equally distributed) latent sequence, and in this
-        # edge-of-stability regime that alone moves the divergence onset
-        # (a device-z attempt at the same lr 1e-4 NaN-halted at step
-        # 1921 where the host-z trajectory runs 22k steps finite —
-        # BASELINE.md stability notes). Pinning host_z keeps the
-        # reference-scale protocol comparable across rounds.
-        '--host_z', 'true',
+        # device-drawn z (the shipped default), deliberately: the
+        # divergence-rescue protocol relies on --rng_salt decorrelating
+        # the noise a relaunch sees, and with --host_z the latent
+        # sequence is pinned to the DATASET stream (seed, epoch, idx) —
+        # a salted rescue then re-rolls only the GP-alpha/encoder-noise
+        # streams and dies in the same window (observed: host-z rescues
+        # at onsets 1898/1710 from ratchet points 1502/1502; the salt
+        # barely moved the onset). Under device z the salt re-derives
+        # the FULL per-step stream including z, making each rescue an
+        # independent draw (BASELINE.md stability notes).
         '--nan_policy', 'halt',
     ]
     # stdout goes to a FILE, not a pipe: at 22k steps the trainer's
@@ -117,7 +121,13 @@ def main():
     steps_per_epoch = n_train // BATCH
     total_steps = steps_per_epoch * epochs
     kill_at = int(total_steps * kill_frac)
-    shutil.rmtree(OUTPUTS, ignore_errors=True)
+    # REFSCALE_RESUME=1 continues a previous harness invocation's
+    # checkpoint ladder + metrics instead of starting over (used when
+    # the SUPERVISOR itself is relaunched mid-protocol); pair it with
+    # REFSCALE_SALT_BASE=<n> so already-burned salts aren't replayed —
+    # salt k from the same restore point is deterministic.
+    if not os.environ.get('REFSCALE_RESUME'):
+        shutil.rmtree(OUTPUTS, ignore_errors=True)
 
     common = [
         '--dataroot', DATAROOT, '--dataset', 'genshapes',
@@ -140,12 +150,20 @@ def main():
     print(f'target {total_steps} steps ({epochs} epochs x '
           f'{steps_per_epoch}); SIGTERM at ~step {kill_at}', flush=True)
     HALT = 'nan_policy=halt'
-    MAX_RESCUES = 4
+    # The divergence hazard concentrates in the ~1-2.5k early-training
+    # window (every observed onset, rounds 3-5, lies in 1354-2452);
+    # with saves every `save_freq` steps a rescue loses at most that
+    # much progress, so even a ~50% per-window survival rate grinds
+    # through in a handful of salts and cruises once past it.
+    MAX_RESCUES = 12
     killed_at = None
     rescues = []       # last logged step of each NaN-halted segment
+    quarantined = []   # checkpoints rolled back past (see below)
+    fails_at_point = {}
     seg_walls = []
-    salt = 0
+    salt = int(os.environ.get('REFSCALE_SALT_BASE', 0))
     seg = 0
+    ckpt_dir = os.path.join(OUTPUTS, NAME, 'checkpoints')
     while True:
         _, done = _count_steps(metrics_path)
         if done is not None and done >= total_steps:
@@ -179,9 +197,27 @@ def main():
         if proc.returncode == 1 and HALT in out:
             salt += 1
             rescues.append(last)
+            # Rollback depth: the WGAN runaway builds over hundreds of
+            # steps before the first NaN, so the newest "finite"
+            # checkpoint can already be mid-divergence — salted rescues
+            # from it then all die within ~100-200 steps (observed:
+            # onsets 1072/1159 from restore point 1002). Two strikes
+            # from the same restore point => quarantine it (renamed out
+            # of the plain namespace) and resume one rung deeper.
+            from edgegan_tpu import checkpoint as _ck
+            point = _ck.latest_step(ckpt_dir)
+            fails_at_point[point] = fails_at_point.get(point, 0) + 1
+            if fails_at_point[point] >= 2 and point is not None:
+                src = os.path.join(ckpt_dir, f'EdgeGAN-Model-{point}')
+                os.rename(src, src + '-poisoned')
+                quarantined.append(point)
+                point = _ck.latest_step(ckpt_dir)
+                print(f' [!] two failed rescues from step '
+                      f'{quarantined[-1]}: quarantined it, rolling '
+                      f'back to {point}', flush=True)
             print(f' [!] segment {seg} NaN-halted at step {last}; '
-                  f'rescue {len(rescues)}: resume last finite '
-                  f'checkpoint with --rng_salt {salt}', flush=True)
+                  f'rescue {len(rescues)}: resume step {point} with '
+                  f'--rng_salt {salt}', flush=True)
             if len(rescues) > MAX_RESCUES:
                 raise SystemExit(f'diverged {len(rescues)} times '
                                  f'(onsets {rescues}); giving up')
@@ -295,6 +331,7 @@ def main():
         'mid_run_kill_at_step': killed_at,
         'resume_markers': resume_markers,
         'divergence_rescues': rescues,
+        'quarantined_checkpoints': quarantined,
         'segment_walls_s': [round(w, 1) for w in seg_walls],
         'eval': evals,
         'note': 'procedural 14-class stand-in for SketchyCOCO (no '
