@@ -57,6 +57,14 @@ def main(argv=None):
                              'that one point (generator/extractor '
                              'co-adaptation — the round-3 curve\'s '
                              'final-point artifact). Default on.')
+    parser.add_argument('--max_points', type=int, default=24,
+                        help='subsample the ladder evenly to at most N '
+                             'sweep points (first and last retained '
+                             'steps always kept) — bounds sweep cost '
+                             'on dense save cadences (a save_freq-500 '
+                             'reference-scale ladder retains 44+ '
+                             'checkpoints). 0 = sweep every retained '
+                             'checkpoint.')
     args, passthrough = parser.parse_known_args(argv)
 
     # the run directory comes from the passthrough config flags
@@ -86,6 +94,11 @@ def main(argv=None):
                        if not (args.exclude_extractor_point
                                and s == extractor_step)]
         extractor_flags = ['--extractor_step', str(extractor_step)]
+    if args.max_points and len(sweep_steps) > args.max_points:
+        import numpy as _np
+        idx = _np.unique(_np.linspace(0, len(sweep_steps) - 1,
+                                      args.max_points).round().astype(int))
+        sweep_steps = [sweep_steps[i] for i in idx]
     splits = args.splits.split(',')
     rows = []
     for step in sweep_steps:

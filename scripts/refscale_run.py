@@ -257,7 +257,11 @@ def main():
     # ---- FID trajectory over the ladder ----
     import fid_curve as fid_curve_cli
     fid_curve_cli.main(common + ext_flags
-                       + ['--outdir', outdir, '--limit', '256'])
+                       + ['--outdir', outdir, '--limit', '256',
+                          # bound the sweep on the dense save_freq-500
+                          # ladder (44+ checkpoints) to r4's 23-point
+                          # granularity
+                          '--max_points', '23'])
     for src, dst in [('fidcurve.json', 'refscale_fidcurve.json'),
                      ('fidcurve.png', 'refscale_fidcurve.png')]:
         shutil.move(os.path.join(outdir, src), os.path.join(outdir, dst))
